@@ -1,0 +1,169 @@
+"""JSON value model: types, exact-decimal numerics, deep equality.
+
+Semantics mirror the reference engine (georgeakulov/json-schema):
+
+* the 7 JSON kinds resolved by ``compilers/TypeCompiler.java:74-85``;
+* ``integer`` means "number with zero fractional part", so ``1.0``
+  satisfies ``{"type": "integer"}`` (``TypeCompiler.java:87-94``);
+* all numeric comparisons are exact decimal, never float
+  (``compilers/base/BaseNumberCompiler.java:24-29``,
+  ``compilers/Utils.java:14-25`` — ``1 == 1.0`` in enum/const);
+* deep equality is key-order-insensitive for objects and numeric-
+  tolerant (``common/JsonNodeComparator.java:12-69``).
+
+All implementations here are from-scratch Python; the reference is cited
+only to document the behaviour being matched.
+"""
+
+from __future__ import annotations
+
+import json
+from decimal import Decimal
+from typing import Any
+
+__all__ = [
+    "parse_json",
+    "json_type",
+    "type_matches",
+    "is_number",
+    "is_integerish",
+    "to_decimal",
+    "json_equal",
+    "canon_key",
+    "canonical_json",
+]
+
+JSON_TYPES = ("null", "boolean", "string", "number", "integer", "array", "object")
+
+
+def parse_json(text: str) -> Any:
+    """Parse JSON preserving exact numeric literals (floats → Decimal)."""
+    return json.loads(text, parse_float=Decimal)
+
+
+def is_number(v: Any) -> bool:
+    """JSON number check; bool is a distinct JSON kind, never a number."""
+    return isinstance(v, (int, float, Decimal)) and not isinstance(v, bool)
+
+
+def to_decimal(v: Any) -> Decimal:
+    if isinstance(v, Decimal):
+        return v
+    if isinstance(v, int):
+        return Decimal(v)
+    # float that did not come from parse_json (e.g. schema authored in
+    # Python); str() gives the shortest round-tripping literal.
+    return Decimal(str(v))
+
+
+def is_integerish(v: Any) -> bool:
+    """True when a JSON number has zero fractional part (1.0 counts)."""
+    if isinstance(v, bool):
+        return False
+    if isinstance(v, int):
+        return True
+    if isinstance(v, Decimal):
+        return v == v.to_integral_value()
+    if isinstance(v, float):
+        return v.is_integer()
+    return False
+
+
+def json_type(v: Any) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "boolean"
+    if is_number(v):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, (list, tuple)):
+        return "array"
+    if isinstance(v, dict):
+        return "object"
+    raise TypeError(f"not a JSON value: {type(v)!r}")
+
+
+def type_matches(v: Any, t: str) -> bool:
+    if t == "integer":
+        return is_number(v) and is_integerish(v)
+    if t == "number":
+        return is_number(v)
+    return json_type(v) == t
+
+
+def json_equal(a: Any, b: Any) -> bool:
+    """Deep JSON equality: numbers by value (1 == 1.0), bool distinct
+    from 0/1, objects key-order-insensitive, arrays ordered."""
+    a_bool, b_bool = isinstance(a, bool), isinstance(b, bool)
+    if a_bool or b_bool:
+        return a_bool and b_bool and a == b
+    if is_number(a) or is_number(b):
+        if not (is_number(a) and is_number(b)):
+            return False
+        return to_decimal(a) == to_decimal(b)
+    if isinstance(a, dict):
+        if not isinstance(b, dict) or len(a) != len(b):
+            return False
+        for k, av in a.items():
+            if k not in b or not json_equal(av, b[k]):
+                return False
+        return True
+    if isinstance(a, (list, tuple)):
+        if not isinstance(b, (list, tuple)) or len(a) != len(b):
+            return False
+        return all(json_equal(x, y) for x, y in zip(a, b))
+    return type(a) is type(b) and a == b
+
+
+def canon_key(v: Any) -> Any:
+    """Hashable canonical key under ``json_equal`` equivalence.
+
+    Used for O(1) set membership in ``enum`` and ``uniqueItems``
+    (the reference uses a TreeSet over ``JsonNodeComparator`` —
+    ``compilers/EnumCompiler.java:43-49``).
+    """
+    if isinstance(v, bool):
+        return ("b", v)
+    if is_number(v):
+        d = to_decimal(v)
+        sign, digits, exp = d.normalize().as_tuple()
+        return ("n", sign, digits, exp)
+    if isinstance(v, str):
+        return ("s", v)
+    if v is None:
+        return ("z",)
+    if isinstance(v, (list, tuple)):
+        return ("a", tuple(canon_key(x) for x in v))
+    if isinstance(v, dict):
+        return ("o", frozenset((k, canon_key(x)) for k, x in v.items()))
+    raise TypeError(f"not a JSON value: {type(v)!r}")
+
+
+class _DecimalEncoder(json.JSONEncoder):
+    def default(self, o):  # noqa: D102
+        if isinstance(o, Decimal):
+            return float(o)
+        return super().default(o)
+
+
+def canonical_json(v: Any) -> str:
+    """Deterministic serialization (sorted keys, normalized numbers) —
+    the Spark-side analogue used for composite equality columns."""
+
+    def norm(x: Any) -> Any:
+        if isinstance(x, bool) or x is None or isinstance(x, str):
+            return x
+        if is_number(x):
+            d = to_decimal(x).normalize()
+            if d == d.to_integral_value() and abs(d.as_tuple().exponent) < 16:
+                return int(d)
+            return float(d)
+        if isinstance(x, (list, tuple)):
+            return [norm(i) for i in x]
+        if isinstance(x, dict):
+            return {k: norm(i) for k, i in x.items()}
+        raise TypeError(type(x))
+
+    return json.dumps(norm(v), sort_keys=True, separators=(",", ":"))

@@ -1,0 +1,246 @@
+"""Driver-side schema registry: $id / $anchor / $ref resolution.
+
+From-scratch re-expression of the reference's registration +
+preprocessing pass (``loaders/SchemasRegistry.java:34-109``,
+``loaders/SchemaPreprocessor.java:22-233``): every schema resource is
+registered under its canonical URI, anchors and dynamic anchors are
+collected per resource, and every node is tagged with its effective
+base URI so ``$ref`` resolution is a pure dict lookup at compile time.
+Runs entirely on the Spark driver — executors never resolve schemas.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+from typing import Any, Callable, Optional
+
+__all__ = ["SchemaRegistry", "SchemaResolutionError", "json_pointer_get"]
+
+
+class SchemaResolutionError(Exception):
+    pass
+
+
+# keywords whose value is a schema / container of schemas, for the scan
+# walk (mirrors ICompiler.preprocess routing in the reference)
+_MAP_OF_SCHEMAS = ("properties", "patternProperties", "dependentSchemas", "$defs", "definitions")
+_LIST_OF_SCHEMAS = ("allOf", "anyOf", "oneOf", "prefixItems")
+_SINGLE_SCHEMA = (
+    "additionalProperties",
+    "additionalItems",
+    "unevaluatedItems",
+    "unevaluatedProperties",
+    "propertyNames",
+    "not",
+    "if",
+    "then",
+    "else",
+    "contains",
+    "contentSchema",
+)
+
+
+def _unescape_pointer_token(tok: str) -> str:
+    return urllib.parse.unquote(tok).replace("~1", "/").replace("~0", "~")
+
+
+def json_pointer_get(doc: Any, pointer: str) -> Any:
+    """Navigate a JSON pointer ("" or "/a/0/b") into a parsed document."""
+    node = doc
+    if pointer in ("", "/"):
+        return node if pointer == "" else _step(node, "")
+    for tok in pointer.lstrip("/").split("/"):
+        node = _step(node, _unescape_pointer_token(tok))
+    return node
+
+
+def _step(node: Any, tok: str) -> Any:
+    if isinstance(node, dict):
+        if tok not in node:
+            raise SchemaResolutionError(f"pointer token {tok!r} not found")
+        return node[tok]
+    if isinstance(node, list):
+        try:
+            return node[int(tok)]
+        except (ValueError, IndexError) as e:
+            raise SchemaResolutionError(f"bad array index {tok!r}") from e
+    raise SchemaResolutionError(f"cannot index {type(node).__name__} with {tok!r}")
+
+
+def _strip_fragment(uri: str) -> str:
+    return uri.split("#", 1)[0]
+
+
+def _resolve_uri(base: str, ref: str) -> str:
+    if not base:
+        return ref
+    return urllib.parse.urljoin(base, ref)
+
+
+class SchemaRegistry:
+    """Registry of schema resources keyed by canonical URI.
+
+    ``add(schema, uri)`` scans the document, registering every embedded
+    ``$id`` resource, ``$anchor`` / ``$dynamicAnchor`` target, draft-07
+    fragment-only ``$id`` anchors, and tagging each dict node with its
+    effective base URI and dialect.
+    """
+
+    def __init__(self, default_dialect: str = "draft7",
+                 loader: Optional[Callable[[str], Any]] = None):
+        self.default_dialect = default_dialect
+        self.docs: dict[str, Any] = {}  # resource uri -> schema node
+        self.anchors: dict[tuple[str, str], Any] = {}
+        self.dynamic_anchors: dict[tuple[str, str], Any] = {}
+        self.recursive_roots: set[str] = set()  # resources w/ $recursiveAnchor:true at root
+        self._base_by_nodeid: dict[int, str] = {}
+        self._dialect_by_nodeid: dict[int, str] = {}
+        self._keepalive: list[Any] = []  # hold scanned docs so id() stays valid
+        self.loader = loader  # optional uri -> parsed schema (driver-only I/O)
+        self._synthetic = 0
+
+    # ------------------------------------------------------------ scan
+
+    def add(self, schema: Any, uri: str = "", dialect: Optional[str] = None) -> str:
+        """Register a schema document; returns its canonical root URI."""
+        if isinstance(schema, str):
+            schema = json.loads(schema)
+        self._keepalive.append(schema)
+        dialect = dialect or self._dialect_of(schema) or self.default_dialect
+        root_uri = uri
+        if isinstance(schema, dict):
+            declared = schema.get("$id") or (
+                schema.get("id") if dialect == "draft7" and isinstance(schema.get("id"), str) else None
+            )
+            if isinstance(declared, str) and not declared.startswith("#"):
+                root_uri = _strip_fragment(_resolve_uri(uri, declared))
+        if not root_uri:
+            self._synthetic += 1
+            root_uri = f"urn:json-schema-spark:anon:{self._synthetic}"
+        self.docs[root_uri] = schema
+        self._scan(schema, root_uri, dialect)
+        return root_uri
+
+    def _dialect_of(self, schema: Any) -> Optional[str]:
+        if not isinstance(schema, dict):
+            return None
+        s = schema.get("$schema")
+        if not isinstance(s, str):
+            return None
+        if "2020-12" in s:
+            return "2020-12"
+        if "2019-09" in s:
+            return "2019-09"
+        if "draft-07" in s or "draft-06" in s or "draft-04" in s:
+            return "draft7"
+        return None
+
+    def _scan(self, node: Any, base: str, dialect: str) -> None:
+        if isinstance(node, bool) or not isinstance(node, dict):
+            return
+        dialect = self._dialect_of(node) or dialect
+        nid = node.get("$id") if isinstance(node.get("$id"), str) else None
+        if nid is None and dialect == "draft7" and isinstance(node.get("id"), str):
+            nid = node["id"]
+        if nid is not None:
+            if nid.startswith("#") and dialect == "draft7":
+                # draft-07 fragment-only $id == anchor
+                self.anchors[(base, nid[1:])] = node
+            else:
+                new_uri = _strip_fragment(_resolve_uri(base, nid))
+                frag = urllib.parse.urlsplit(nid).fragment
+                if new_uri and new_uri != base:
+                    self.docs[new_uri] = node
+                    base = new_uri
+                if frag:
+                    self.anchors[(base, frag)] = node
+        self._base_by_nodeid[id(node)] = base
+        self._dialect_by_nodeid[id(node)] = dialect
+
+        anch = node.get("$anchor")
+        if isinstance(anch, str):
+            self.anchors[(base, anch)] = node
+        dyn = node.get("$dynamicAnchor")
+        if isinstance(dyn, str):
+            self.dynamic_anchors[(base, dyn)] = node
+            self.anchors.setdefault((base, dyn), node)
+        if node.get("$recursiveAnchor") is True and self.docs.get(base) is node:
+            self.recursive_roots.add(base)
+
+        for kw in _MAP_OF_SCHEMAS:
+            sub = node.get(kw)
+            if isinstance(sub, dict):
+                for v in sub.values():
+                    self._scan(v, base, dialect)
+        for kw in _LIST_OF_SCHEMAS:
+            sub = node.get(kw)
+            if isinstance(sub, list):
+                for v in sub:
+                    self._scan(v, base, dialect)
+        for kw in _SINGLE_SCHEMA:
+            if kw in node:
+                self._scan(node[kw], base, dialect)
+        items = node.get("items")
+        if isinstance(items, list):
+            for v in items:
+                self._scan(v, base, dialect)
+        elif items is not None:
+            self._scan(items, base, dialect)
+        deps = node.get("dependencies")
+        if isinstance(deps, dict):
+            for v in deps.values():
+                if isinstance(v, (dict, bool)):
+                    self._scan(v, base, dialect)
+
+    # --------------------------------------------------------- resolve
+
+    def base_of(self, node: Any) -> str:
+        return self._base_by_nodeid.get(id(node), "")
+
+    def dialect_of_node(self, node: Any) -> str:
+        return self._dialect_by_nodeid.get(id(node), self.default_dialect)
+
+    def resolve_ref(self, ref: str, base: str) -> Any:
+        """Resolve ``$ref`` to a schema node (compile-time, driver-side)."""
+        target = _resolve_uri(base, ref)
+        doc_uri, _, fragment = target.partition("#")
+        doc_uri = doc_uri or base.split("#", 1)[0]
+        doc = self.docs.get(doc_uri)
+        if doc is None and self.loader is not None:
+            loaded = self.loader(doc_uri)
+            if loaded is not None:
+                self.add(loaded, doc_uri)
+                doc = self.docs.get(doc_uri)
+        if doc is None:
+            # the ref may target an anchor in an already-known resource
+            if fragment and (doc_uri, fragment) in self.anchors:
+                return self.anchors[(doc_uri, fragment)]
+            raise SchemaResolutionError(f"unknown schema resource: {doc_uri!r}")
+        if not fragment:
+            return doc
+        if fragment.startswith("/"):
+            node = json_pointer_get(doc, fragment)
+            if isinstance(node, dict) and id(node) not in self._base_by_nodeid:
+                self._scan(node, doc_uri, self.dialect_of_node(doc))
+            return node
+        key = (doc_uri, fragment)
+        if key in self.anchors:
+            return self.anchors[key]
+        raise SchemaResolutionError(f"unknown anchor {fragment!r} in {doc_uri!r}")
+
+    def resolve_dynamic(self, name: str, scope: tuple[str, ...]) -> Optional[Any]:
+        """Outermost dynamic-anchor resolution along the runtime scope
+        chain (``loaders/SchemasRegistry.java:183-224`` semantics)."""
+        for uri in scope:
+            node = self.dynamic_anchors.get((uri, name))
+            if node is not None:
+                return node
+        return None
+
+    def resolve_recursive(self, scope: tuple[str, ...]) -> Optional[Any]:
+        """Oldest ancestor resource with ``$recursiveAnchor: true``."""
+        for uri in scope:
+            if uri in self.recursive_roots:
+                return self.docs[uri]
+        return None

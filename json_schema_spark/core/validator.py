@@ -1,0 +1,1123 @@
+"""Compile-once / apply-many JSON Schema validator (pure Python core).
+
+This is the engine's *semantic kernel*: a JSON Schema (draft-07,
+2019-09 or 2020-12) is compiled **once on the Spark driver** into a tree
+of Python closures, then applied row-parallel inside Arrow-batched
+pandas UDFs (see :mod:`json_schema_spark.plans.compiler` for the
+Column-expression fast path that bypasses Python entirely when the
+schema is expression-compilable).
+
+Keyword semantics re-expressed from the reference engine's observable
+behaviour (georgeakulov/json-schema):
+
+* compile-time partial evaluation of keyword arguments into closures
+  (``compilers/ICompiler.java:14-17`` / ``IValidator.java:9-12``);
+* draft-07 ``$ref`` ignores sibling keywords
+  (``compilers/RefCompiler.java:50-66``);
+* scalar keywords no-op on non-matching instance types
+  (``compilers/base/BaseNumberCompiler.java:28-31``);
+* ``pattern`` is a regex *search*, not a full match
+  (``common/regex/RegexFactory.java:19-22``);
+* exact-decimal numeric comparisons, code-point lengths, deep JSON
+  equality (see :mod:`json_schema_spark.core.jsonvalue`);
+* annotation-driven ``additionalProperties`` / ``unevaluated*``
+  (``compilers/UnevaluatedItemsCompiler.java:50-160``);
+* memoized compilation with cycle support
+  (``compilers/CompileContext.java:66-128``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from ..functions import content as content_mod
+from ..functions.formats import FORMAT_VALIDATORS
+from .jsonvalue import (
+    canon_key,
+    is_integerish,
+    is_number,
+    json_equal,
+    parse_json,
+    to_decimal,
+    type_matches,
+)
+from .registry import SchemaRegistry, SchemaResolutionError
+
+__all__ = ["CompileConfig", "CompiledSchema", "compile_schema", "SchemaCompileError"]
+
+
+class SchemaCompileError(Exception):
+    pass
+
+
+@dataclass
+class CompileConfig:
+    dialect: str = "draft7"
+    format_assertions: bool = False  # suite keeps format in optional/
+    content_mode: str = content_mod.DEFAULT
+    collect_errors: bool = True
+    custom_formats: dict[str, Callable[[str], bool]] = field(default_factory=dict)
+
+    def content_level(self, dialect: str) -> str:
+        if self.content_mode == content_mod.DEFAULT:
+            # draft-07 asserts content keywords by default; 2019-09 and
+            # 2020-12 demote them to annotations
+            # (ContentTypesCompilerFactory.java:56-64).
+            return content_mod.ENCODING if dialect == "draft7" else content_mod.DISABLED
+        return self.content_mode
+
+
+# annotation state for one instance location:
+# [props:set[str]|None, item_prefix:int, item_idx:set[int]|None, items_all:bool]
+def _new_ann():
+    return [None, 0, None, False]
+
+
+def _ann_add_props(ann, names):
+    if ann[0] is None:
+        ann[0] = set()
+    ann[0].update(names)
+
+
+def _ann_add_item_idx(ann, idxs):
+    if ann[2] is None:
+        ann[2] = set()
+    ann[2].update(idxs)
+
+
+def _ann_merge(dst, src):
+    if src is None or dst is None:
+        return
+    if src[0]:
+        _ann_add_props(dst, src[0])
+    if src[1] > dst[1]:
+        dst[1] = src[1]
+    if src[2]:
+        _ann_add_item_idx(dst, src[2])
+    if src[3]:
+        dst[3] = True
+
+
+_METADATA_KEYWORDS = frozenset(
+    {
+        "$schema",
+        "$comment",
+        "$vocabulary",
+        "title",
+        "description",
+        "default",
+        "examples",
+        "deprecated",
+        "readOnly",
+        "writeOnly",
+        "$defs",
+        "definitions",
+        "$id",
+        "id",
+        "$anchor",
+        "$dynamicAnchor",
+        "$recursiveAnchor",
+    }
+)
+
+
+class _Compiler:
+    """One compilation pass: schema graph -> closure tree, memoized per
+    node with forward-proxy cycle support."""
+
+    def __init__(self, registry: SchemaRegistry, config: CompileConfig):
+        self.registry = registry
+        self.config = config
+        self._memo: dict[int, Callable] = {}
+
+    # a validator is fn(inst, path, scope) -> (ok: bool,
+    #   errors: list[(path, keyword, msg)] | None, ann: list | None)
+
+    def compile_node(self, node: Any) -> Callable:
+        key = id(node)
+        hit = self._memo.get(key)
+        if hit is not None:
+            return hit
+        cell = [None]
+
+        def proxy(inst, path, scope, _c=cell):
+            return _c[0](inst, path, scope)
+
+        self._memo[key] = proxy
+        built = self._build(node)
+        cell[0] = built
+        self._memo[key] = built
+        # keep the proxy working for any early captures
+        return built
+
+    # ------------------------------------------------------------ build
+
+    def _build(self, node: Any) -> Callable:
+        if node is True or node == {}:
+            def always_ok(inst, path, scope):
+                return True, None, None
+
+            return always_ok
+        if node is False:
+            collect = self.config.collect_errors
+
+            def always_fail(inst, path, scope):
+                errs = [(path, "false", "schema is false")] if collect else None
+                return False, errs, None
+
+            return always_fail
+        if not isinstance(node, dict):
+            raise SchemaCompileError(f"schema must be object or boolean, got {type(node).__name__}")
+
+        dialect = self.registry.dialect_of_node(node) or self.config.dialect
+        base = self.registry.base_of(node)
+
+        # draft-07: $ref replaces all sibling keywords (RefCompiler.java:50-66)
+        if "$ref" in node and dialect == "draft7":
+            target = self.registry.resolve_ref(node["$ref"], base)
+            sub = self.compile_node(target)
+            return self._wrap_resource(node, sub)
+
+        kws: list[Callable] = []  # each: fn(inst, path, scope, ann, errors) -> bool
+        add = kws.append
+
+        if "$ref" in node:
+            add(self._kw_ref(node["$ref"], base))
+        if "$recursiveRef" in node:
+            add(self._kw_recursive_ref(node["$recursiveRef"], base))
+        if "$dynamicRef" in node:
+            add(self._kw_dynamic_ref(node["$dynamicRef"], base))
+
+        if "type" in node:
+            add(self._kw_type(node["type"]))
+        if "enum" in node:
+            add(self._kw_enum(node["enum"]))
+        if "const" in node:
+            add(self._kw_const(node["const"]))
+        for kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
+            if kw in node:
+                add(self._kw_number_bound(kw, node[kw]))
+        if "multipleOf" in node:
+            add(self._kw_multiple_of(node["multipleOf"]))
+        if "pattern" in node:
+            add(self._kw_pattern(node["pattern"]))
+        if "minLength" in node or "maxLength" in node:
+            add(self._kw_length(node.get("minLength"), node.get("maxLength")))
+        if "format" in node:
+            fv = self._kw_format(node["format"])
+            if fv is not None:
+                add(fv)
+        level = self.config.content_level(dialect)
+        if level != content_mod.DISABLED and (
+            "contentEncoding" in node or "contentMediaType" in node or "contentSchema" in node
+        ):
+            add(self._kw_content(node, level))
+
+        if "required" in node and node["required"]:
+            add(self._kw_required(node["required"]))
+        if "minProperties" in node or "maxProperties" in node:
+            add(self._kw_prop_count(node.get("minProperties"), node.get("maxProperties")))
+        if "dependentRequired" in node:
+            add(self._kw_dependent_required(node["dependentRequired"]))
+        if "dependencies" in node:
+            for fn in self._kw_dependencies(node["dependencies"]):
+                add(fn)
+        if "propertyNames" in node:
+            add(self._kw_property_names(node["propertyNames"]))
+        if "properties" in node or "patternProperties" in node or "additionalProperties" in node:
+            add(
+                self._kw_properties_block(
+                    node.get("properties"),
+                    node.get("patternProperties"),
+                    node.get("additionalProperties"),
+                )
+            )
+
+        if dialect == "2020-12":
+            if "prefixItems" in node or "items" in node:
+                add(self._kw_items_2020(node.get("prefixItems"), node.get("items")))
+        else:
+            if "items" in node or "additionalItems" in node:
+                add(self._kw_items_legacy(node.get("items"), node.get("additionalItems")))
+        if "contains" in node or "minContains" in node or "maxContains" in node:
+            if "contains" in node:
+                add(
+                    self._kw_contains(
+                        node["contains"],
+                        node.get("minContains"),
+                        node.get("maxContains"),
+                        dialect,
+                    )
+                )
+        if "minItems" in node or "maxItems" in node:
+            add(self._kw_item_count(node.get("minItems"), node.get("maxItems")))
+        if node.get("uniqueItems") is True:
+            add(self._kw_unique_items())
+
+        if "allOf" in node:
+            add(self._kw_all_of(node["allOf"]))
+        if "anyOf" in node:
+            add(self._kw_any_of(node["anyOf"]))
+        if "oneOf" in node:
+            add(self._kw_one_of(node["oneOf"]))
+        if "not" in node:
+            add(self._kw_not(node["not"]))
+        if "if" in node:
+            add(self._kw_if_then_else(node.get("if"), node.get("then"), node.get("else")))
+        if "dependentSchemas" in node:
+            add(self._kw_dependent_schemas(node["dependentSchemas"]))
+
+        # transformers last: unevaluated* absorb every annotation producer
+        # (Compiler.java:91-96, order MAX_INT)
+        if "unevaluatedItems" in node:
+            add(self._kw_unevaluated_items(node["unevaluatedItems"]))
+        if "unevaluatedProperties" in node:
+            add(self._kw_unevaluated_properties(node["unevaluatedProperties"]))
+
+        collect = self.config.collect_errors
+
+        def schema_validator(inst, path, scope, _kws=tuple(kws)):
+            ann = _new_ann()
+            errors = [] if collect else None
+            ok = True
+            for kv in _kws:
+                if not kv(inst, path, scope, ann, errors):
+                    ok = False
+                    if not collect:
+                        return False, None, None
+            return ok, errors, (ann if ok else None)
+
+        return self._wrap_resource(node, schema_validator)
+
+    def _wrap_resource(self, node: Any, fn: Callable) -> Callable:
+        """Push this schema resource's URI onto the dynamic scope when
+        entering it (drives $dynamicRef / $recursiveRef resolution)."""
+        base = self.registry.base_of(node)
+        if base and self.registry.docs.get(base) is node:
+            def entering(inst, path, scope, _fn=fn, _uri=base):
+                if not scope or scope[-1] != _uri:
+                    scope = scope + (_uri,)
+                return _fn(inst, path, scope)
+
+            return entering
+        return fn
+
+    # ------------------------------------------------------- subschema
+
+    def _sub(self, node: Any) -> Callable:
+        return self.compile_node(node)
+
+    def _err(self, errors, path, kw, msg):
+        if errors is not None:
+            errors.append((path, kw, msg))
+
+    # ------------------------------------------------------- references
+
+    def _kw_ref(self, ref: str, base: str) -> Callable:
+        target = self.registry.resolve_ref(ref, base)
+        sub = self._sub(target)
+
+        def kv(inst, path, scope, ann, errors, _sub=sub):
+            ok, errs, sub_ann = _sub(inst, path, scope)
+            if ok:
+                _ann_merge(ann, sub_ann)
+            elif errs:
+                errors.extend(errs) if errors is not None else None
+            elif errors is not None:
+                errors.append((path, "$ref", "referenced schema failed"))
+            return ok
+
+        return kv
+
+    def _kw_recursive_ref(self, ref: str, base: str) -> Callable:
+        if ref != "#":
+            return self._kw_ref(ref, base)
+        static_target = self.registry.docs.get(base)
+        if static_target is None:
+            raise SchemaCompileError(f"$recursiveRef with unknown base {base!r}")
+        static_sub = self._sub(static_target)
+        dynamic = base in self.registry.recursive_roots
+        registry = self.registry
+        compile_node = self.compile_node
+
+        def kv(inst, path, scope, ann, errors):
+            sub = static_sub
+            if dynamic:
+                target = registry.resolve_recursive(scope)
+                if target is not None:
+                    sub = compile_node(target)
+            ok, errs, sub_ann = sub(inst, path, scope)
+            if ok:
+                _ann_merge(ann, sub_ann)
+            elif errs and errors is not None:
+                errors.extend(errs)
+            elif errors is not None:
+                errors.append((path, "$recursiveRef", "referenced schema failed"))
+            return ok
+
+        return kv
+
+    def _kw_dynamic_ref(self, ref: str, base: str) -> Callable:
+        target = self.registry.resolve_ref(ref, base)
+        static_sub = self._sub(target)
+        frag = ref.partition("#")[2]
+        is_anchor = bool(frag) and not frag.startswith("/")
+        dyn_name = frag if is_anchor and isinstance(target, dict) and target.get("$dynamicAnchor") == frag else None
+        registry = self.registry
+        compile_node = self.compile_node
+
+        def kv(inst, path, scope, ann, errors):
+            sub = static_sub
+            if dyn_name is not None:
+                t = registry.resolve_dynamic(dyn_name, scope)
+                if t is not None:
+                    sub = compile_node(t)
+            ok, errs, sub_ann = sub(inst, path, scope)
+            if ok:
+                _ann_merge(ann, sub_ann)
+            elif errs and errors is not None:
+                errors.extend(errs)
+            elif errors is not None:
+                errors.append((path, "$dynamicRef", "referenced schema failed"))
+            return ok
+
+        return kv
+
+    # ------------------------------------------------------- scalar kws
+
+    def _kw_type(self, arg: Any) -> Callable:
+        types = tuple([arg] if isinstance(arg, str) else arg)
+        for t in types:
+            if t not in ("null", "boolean", "string", "number", "integer", "array", "object"):
+                raise SchemaCompileError(f"unknown type {t!r}")
+
+        def kv(inst, path, scope, ann, errors):
+            if any(type_matches(inst, t) for t in types):
+                return True
+            self._err(errors, path, "type", f"expected {'/'.join(types)}")
+            return False
+
+        return kv
+
+    def _kw_enum(self, values: list) -> Callable:
+        try:
+            keys = frozenset(canon_key(v) for v in values)
+        except TypeError as e:  # pragma: no cover
+            raise SchemaCompileError(str(e)) from e
+
+        def kv(inst, path, scope, ann, errors):
+            try:
+                if canon_key(inst) in keys:
+                    return True
+            except TypeError:
+                pass
+            self._err(errors, path, "enum", "value not in enum")
+            return False
+
+        return kv
+
+    def _kw_const(self, value: Any) -> Callable:
+        def kv(inst, path, scope, ann, errors):
+            if json_equal(inst, value):
+                return True
+            self._err(errors, path, "const", "value differs from const")
+            return False
+
+        return kv
+
+    def _kw_number_bound(self, kw: str, arg: Any) -> Callable:
+        # draft-04 boolean exclusive* forms are not supported (reference
+        # supports drafts 7+ only)
+        bound = to_decimal(arg)
+        op = {
+            "minimum": lambda v: v >= bound,
+            "maximum": lambda v: v <= bound,
+            "exclusiveMinimum": lambda v: v > bound,
+            "exclusiveMaximum": lambda v: v < bound,
+        }[kw]
+
+        def kv(inst, path, scope, ann, errors):
+            if not is_number(inst):
+                return True  # type-gated no-op (BaseNumberCompiler.java:28-31)
+            if op(to_decimal(inst)):
+                return True
+            self._err(errors, path, kw, f"violates {kw} {bound}")
+            return False
+
+        return kv
+
+    def _kw_multiple_of(self, arg: Any) -> Callable:
+        m = to_decimal(arg)
+        if m <= 0:
+            raise SchemaCompileError("multipleOf must be > 0")
+
+        def kv(inst, path, scope, ann, errors):
+            if not is_number(inst):
+                return True
+            try:
+                ok = (to_decimal(inst) % m) == 0
+            except Exception:
+                ok = False
+            if ok:
+                return True
+            self._err(errors, path, "multipleOf", f"not a multiple of {m}")
+            return False
+
+        return kv
+
+    def _compile_regex(self, pattern: str) -> "re.Pattern":
+        try:
+            return re.compile(pattern)
+        except re.error as e:
+            raise SchemaCompileError(f"bad regex {pattern!r}: {e}") from e
+
+    def _kw_pattern(self, pattern: str) -> Callable:
+        rx = self._compile_regex(pattern)
+
+        def kv(inst, path, scope, ann, errors):
+            if not isinstance(inst, str):
+                return True
+            if rx.search(inst):  # search semantics, not full match
+                return True
+            self._err(errors, path, "pattern", f"does not match /{pattern}/")
+            return False
+
+        return kv
+
+    def _kw_length(self, lo: Any, hi: Any) -> Callable:
+        lo_i = int(lo) if lo is not None else None
+        hi_i = int(hi) if hi is not None else None
+
+        def kv(inst, path, scope, ann, errors):
+            if not isinstance(inst, str):
+                return True
+            n = len(inst)  # Python str length == code points
+            if lo_i is not None and n < lo_i:
+                self._err(errors, path, "minLength", f"length {n} < {lo_i}")
+                return False
+            if hi_i is not None and n > hi_i:
+                self._err(errors, path, "maxLength", f"length {n} > {hi_i}")
+                return False
+            return True
+
+        return kv
+
+    def _kw_format(self, name: str) -> Optional[Callable]:
+        fn = self.config.custom_formats.get(name)
+        assert_on = self.config.format_assertions or fn is not None
+        if not assert_on:
+            return None
+        fn = fn or FORMAT_VALIDATORS.get(name)
+        if fn is None:
+            return None  # unknown format: annotation only
+
+        def kv(inst, path, scope, ann, errors, _fn=fn):
+            if not isinstance(inst, str):
+                return True
+            if _fn(inst):
+                return True
+            self._err(errors, path, "format", f"not a valid {name}")
+            return False
+
+        return kv
+
+    def _kw_content(self, node: dict, level: str) -> Callable:
+        encoding = node.get("contentEncoding")
+        media = node.get("contentMediaType")
+        schema = node.get("contentSchema")
+        sub = self._sub(schema) if schema is not None and level == content_mod.ENCODING_AND_SCHEMA else None
+
+        def kv(inst, path, scope, ann, errors):
+            if not isinstance(inst, str):
+                return True
+            text = inst
+            if encoding is not None:
+                ok, text = content_mod.decode_content(encoding, inst)
+                if not ok:
+                    self._err(errors, path, "contentEncoding", f"invalid {encoding} content")
+                    return False
+            parsed = None
+            if media is not None:
+                if text is None:
+                    self._err(errors, path, "contentMediaType", "content is not text")
+                    return False
+                ok, parsed = content_mod.parse_media_type(media, text)
+                if not ok:
+                    self._err(errors, path, "contentMediaType", f"not parseable as {media}")
+                    return False
+            if sub is not None and parsed is not None:
+                ok, errs, _ = sub(parsed, path, scope)
+                if not ok:
+                    if errs and errors is not None:
+                        errors.extend(errs)
+                    self._err(errors, path, "contentSchema", "decoded content invalid")
+                    return False
+            return True
+
+        return kv
+
+    # ------------------------------------------------------- object kws
+
+    def _kw_required(self, names: list) -> Callable:
+        req = tuple(dict.fromkeys(names))
+
+        def kv(inst, path, scope, ann, errors):
+            if not isinstance(inst, dict):
+                return True
+            ok = True
+            for n in req:
+                if n not in inst:
+                    self._err(errors, path, "required", f"missing property {n!r}")
+                    ok = False
+                    if errors is None:
+                        return False
+            return ok
+
+        return kv
+
+    def _kw_prop_count(self, lo: Any, hi: Any) -> Callable:
+        lo_i = int(lo) if lo is not None else None
+        hi_i = int(hi) if hi is not None else None
+
+        def kv(inst, path, scope, ann, errors):
+            if not isinstance(inst, dict):
+                return True
+            n = len(inst)
+            if lo_i is not None and n < lo_i:
+                self._err(errors, path, "minProperties", f"{n} < {lo_i} properties")
+                return False
+            if hi_i is not None and n > hi_i:
+                self._err(errors, path, "maxProperties", f"{n} > {hi_i} properties")
+                return False
+            return True
+
+        return kv
+
+    def _kw_dependent_required(self, arg: dict) -> Callable:
+        deps = {k: tuple(v) for k, v in arg.items()}
+
+        def kv(inst, path, scope, ann, errors):
+            if not isinstance(inst, dict):
+                return True
+            ok = True
+            for k, needs in deps.items():
+                if k in inst:
+                    for n in needs:
+                        if n not in inst:
+                            self._err(errors, path, "dependentRequired", f"{k!r} requires {n!r}")
+                            ok = False
+            return ok
+
+        return kv
+
+    def _kw_dependencies(self, arg: dict) -> list[Callable]:
+        """draft-07 dependencies: array form == dependentRequired,
+        schema/bool form == dependentSchemas
+        (compilers/DependenciesCompiler.java:44-160)."""
+        out = []
+        req_form = {k: v for k, v in arg.items() if isinstance(v, list)}
+        sch_form = {k: v for k, v in arg.items() if isinstance(v, (dict, bool))}
+        if req_form:
+            out.append(self._kw_dependent_required(req_form))
+        if sch_form:
+            out.append(self._kw_dependent_schemas(sch_form, kw="dependencies"))
+        return out
+
+    def _kw_property_names(self, schema: Any) -> Callable:
+        sub = self._sub(schema)
+
+        def kv(inst, path, scope, ann, errors):
+            if not isinstance(inst, dict):
+                return True
+            ok = True
+            for k in inst:
+                s_ok, errs, _ = sub(k, path + (k,), scope)
+                if not s_ok:
+                    self._err(errors, path + (k,), "propertyNames", f"invalid property name {k!r}")
+                    if errs and errors is not None:
+                        errors.extend(errs)
+                    ok = False
+                    if errors is None:
+                        return False
+            return ok
+
+        return kv
+
+    def _kw_properties_block(
+        self, props: Optional[dict], patterns: Optional[dict], additional: Any
+    ) -> Callable:
+        """properties + patternProperties + additionalProperties fused —
+        the static set-difference resolution of SURVEY §4.1 (the
+        reference does this with an annotation-consuming transformer,
+        ``compilers/AdditionalPropertiesCompiler.java:34-95``)."""
+        prop_subs = {k: self._sub(v) for k, v in (props or {}).items()}
+        pat_subs = [(self._compile_regex(p), self._sub(v)) for p, v in (patterns or {}).items()]
+        add_sub = self._sub(additional) if additional is not None else None
+
+        def kv(inst, path, scope, ann, errors):
+            if not isinstance(inst, dict):
+                return True
+            ok = True
+            evaluated = []
+            for k, v in inst.items():
+                matched = False
+                sub = prop_subs.get(k)
+                if sub is not None:
+                    matched = True
+                    s_ok, errs, _ = sub(v, path + (k,), scope)
+                    if not s_ok:
+                        ok = False
+                        if errors is None:
+                            return False
+                        if errs:
+                            errors.extend(errs)
+                for rx, psub in pat_subs:
+                    if rx.search(k):
+                        matched = True
+                        s_ok, errs, _ = psub(v, path + (k,), scope)
+                        if not s_ok:
+                            ok = False
+                            if errors is None:
+                                return False
+                            if errs:
+                                errors.extend(errs)
+                if matched:
+                    evaluated.append(k)
+                elif add_sub is not None:
+                    s_ok, errs, _ = add_sub(v, path + (k,), scope)
+                    if not s_ok:
+                        ok = False
+                        if errors is None:
+                            return False
+                        self._err(errors, path + (k,), "additionalProperties", f"additional property {k!r} invalid")
+                        if errs:
+                            errors.extend(errs)
+                    else:
+                        evaluated.append(k)
+            if ok and ann is not None and evaluated:
+                _ann_add_props(ann, evaluated)
+            return ok
+
+        return kv
+
+    # -------------------------------------------------------- array kws
+
+    def _kw_items_2020(self, prefix: Optional[list], items: Any) -> Callable:
+        prefix_subs = [self._sub(s) for s in (prefix or [])]
+        items_sub = self._sub(items) if items is not None else None
+        np = len(prefix_subs)
+
+        def kv(inst, path, scope, ann, errors):
+            if not isinstance(inst, list):
+                return True
+            ok = True
+            for i, sub in enumerate(prefix_subs):
+                if i >= len(inst):
+                    break
+                s_ok, errs, _ = sub(inst[i], path + (i,), scope)
+                if not s_ok:
+                    ok = False
+                    if errors is None:
+                        return False
+                    if errs:
+                        errors.extend(errs)
+            if items_sub is not None:
+                for i in range(np, len(inst)):
+                    s_ok, errs, _ = items_sub(inst[i], path + (i,), scope)
+                    if not s_ok:
+                        ok = False
+                        if errors is None:
+                            return False
+                        if errs:
+                            errors.extend(errs)
+            if ok and ann is not None:
+                if prefix_subs:
+                    ann[1] = max(ann[1], min(np, len(inst)))
+                if items_sub is not None:
+                    ann[3] = True
+            return ok
+
+        return kv
+
+    def _kw_items_legacy(self, items: Any, additional: Any) -> Callable:
+        """draft-07 / 2019-09 items (single-schema or tuple form) +
+        additionalItems (compilers/v2019/Items2019Compiler.java:33-106,
+        AdditionalItemsCompiler.java:38-96)."""
+        if isinstance(items, list):
+            tuple_subs = [self._sub(s) for s in items]
+            single_sub = None
+        else:
+            tuple_subs = None
+            single_sub = self._sub(items) if items is not None else None
+        # additionalItems only applies with tuple-form items
+        add_sub = self._sub(additional) if additional is not None and tuple_subs is not None else None
+        nt = len(tuple_subs) if tuple_subs else 0
+
+        def kv(inst, path, scope, ann, errors):
+            if not isinstance(inst, list):
+                return True
+            ok = True
+            if single_sub is not None:
+                for i, v in enumerate(inst):
+                    s_ok, errs, _ = single_sub(v, path + (i,), scope)
+                    if not s_ok:
+                        ok = False
+                        if errors is None:
+                            return False
+                        if errs:
+                            errors.extend(errs)
+                if ok and ann is not None:
+                    ann[3] = True
+                return ok
+            if tuple_subs is not None:
+                for i, sub in enumerate(tuple_subs):
+                    if i >= len(inst):
+                        break
+                    s_ok, errs, _ = sub(inst[i], path + (i,), scope)
+                    if not s_ok:
+                        ok = False
+                        if errors is None:
+                            return False
+                        if errs:
+                            errors.extend(errs)
+                if add_sub is not None:
+                    for i in range(nt, len(inst)):
+                        s_ok, errs, _ = add_sub(inst[i], path + (i,), scope)
+                        if not s_ok:
+                            ok = False
+                            if errors is None:
+                                return False
+                            if errs:
+                                errors.extend(errs)
+                if ok and ann is not None:
+                    ann[1] = max(ann[1], min(nt, len(inst)))
+                    if add_sub is not None:
+                        ann[3] = True
+            return ok
+
+        return kv
+
+    def _kw_contains(self, schema: Any, min_c: Any, max_c: Any, dialect: str) -> Callable:
+        sub = self._sub(schema)
+        lo = int(min_c) if min_c is not None and dialect != "draft7" else None
+        hi = int(max_c) if max_c is not None and dialect != "draft7" else None
+        lo_eff = 1 if lo is None else lo
+        track_idx = dialect == "2020-12"
+
+        def kv(inst, path, scope, ann, errors):
+            if not isinstance(inst, list):
+                return True
+            matched = [i for i, v in enumerate(inst) if sub(v, path + (i,), scope)[0]]
+            n = len(matched)
+            ok = n >= lo_eff and (hi is None or n <= hi)
+            if ok:
+                if ann is not None and matched and track_idx:
+                    _ann_add_item_idx(ann, matched)
+                return True
+            if n < lo_eff:
+                self._err(errors, path, "contains", f"only {n} matching items, need >= {lo_eff}")
+            else:
+                self._err(errors, path, "maxContains", f"{n} matching items, need <= {hi}")
+            return False
+
+        return kv
+
+    def _kw_item_count(self, lo: Any, hi: Any) -> Callable:
+        lo_i = int(lo) if lo is not None else None
+        hi_i = int(hi) if hi is not None else None
+
+        def kv(inst, path, scope, ann, errors):
+            if not isinstance(inst, list):
+                return True
+            n = len(inst)
+            if lo_i is not None and n < lo_i:
+                self._err(errors, path, "minItems", f"{n} < {lo_i} items")
+                return False
+            if hi_i is not None and n > hi_i:
+                self._err(errors, path, "maxItems", f"{n} > {hi_i} items")
+                return False
+            return True
+
+        return kv
+
+    def _kw_unique_items(self) -> Callable:
+        def kv(inst, path, scope, ann, errors):
+            if not isinstance(inst, list):
+                return True
+            seen = set()
+            for i, v in enumerate(inst):
+                k = canon_key(v)
+                if k in seen:
+                    self._err(errors, path, "uniqueItems", f"duplicate item at index {i}")
+                    return False
+                seen.add(k)
+            return True
+
+        return kv
+
+    # ------------------------------------------------------ combinators
+
+    def _kw_all_of(self, schemas: list) -> Callable:
+        subs = [self._sub(s) for s in schemas]
+
+        def kv(inst, path, scope, ann, errors):
+            ok = True
+            for sub in subs:
+                s_ok, errs, s_ann = sub(inst, path, scope)
+                if s_ok:
+                    _ann_merge(ann, s_ann)
+                else:
+                    ok = False
+                    if errors is None:
+                        return False
+                    if errs:
+                        errors.extend(errs)
+            return ok
+
+        return kv
+
+    def _kw_any_of(self, schemas: list) -> Callable:
+        subs = [self._sub(s) for s in schemas]
+
+        def kv(inst, path, scope, ann, errors):
+            any_ok = False
+            all_errs = []
+            for sub in subs:
+                s_ok, errs, s_ann = sub(inst, path, scope)
+                if s_ok:
+                    any_ok = True
+                    _ann_merge(ann, s_ann)
+                    if ann is None and errors is None:
+                        return True  # fast path may short-circuit
+                elif errs:
+                    all_errs.extend(errs)
+            if not any_ok:
+                if errors is not None:
+                    errors.extend(all_errs)
+                self._err(errors, path, "anyOf", "no branch matched")
+            return any_ok
+
+        return kv
+
+    def _kw_one_of(self, schemas: list) -> Callable:
+        subs = [self._sub(s) for s in schemas]
+
+        def kv(inst, path, scope, ann, errors):
+            n_ok = 0
+            ok_ann = None
+            for sub in subs:
+                s_ok, _errs, s_ann = sub(inst, path, scope)
+                if s_ok:
+                    n_ok += 1
+                    ok_ann = s_ann
+                    if n_ok > 1:
+                        break
+            if n_ok == 1:
+                _ann_merge(ann, ok_ann)
+                return True
+            self._err(errors, path, "oneOf", f"{n_ok} branches matched, need exactly 1")
+            return False
+
+        return kv
+
+    def _kw_not(self, schema: Any) -> Callable:
+        sub = self._sub(schema)
+
+        def kv(inst, path, scope, ann, errors):
+            s_ok, _, _ = sub(inst, path, scope)
+            if s_ok:
+                self._err(errors, path, "not", "instance matches 'not' schema")
+                return False
+            return True
+
+        return kv
+
+    def _kw_if_then_else(self, if_s: Any, then_s: Any, else_s: Any) -> Callable:
+        """Fused conditional (IfThenElseCompilerFactory.java:40-103):
+        if-annotations propagate only on the 'then' arm."""
+        if_sub = self._sub(if_s)
+        then_sub = self._sub(then_s) if then_s is not None else None
+        else_sub = self._sub(else_s) if else_s is not None else None
+
+        def kv(inst, path, scope, ann, errors):
+            c_ok, _c_errs, c_ann = if_sub(inst, path, scope)
+            if c_ok:
+                _ann_merge(ann, c_ann)
+                if then_sub is None:
+                    return True
+                s_ok, errs, s_ann = then_sub(inst, path, scope)
+                if s_ok:
+                    _ann_merge(ann, s_ann)
+                    return True
+                if errs and errors is not None:
+                    errors.extend(errs)
+                self._err(errors, path, "then", "'then' schema failed")
+                return False
+            if else_sub is None:
+                return True
+            s_ok, errs, s_ann = else_sub(inst, path, scope)
+            if s_ok:
+                _ann_merge(ann, s_ann)
+                return True
+            if errs and errors is not None:
+                errors.extend(errs)
+            self._err(errors, path, "else", "'else' schema failed")
+            return False
+
+        return kv
+
+    def _kw_dependent_schemas(self, arg: dict, kw: str = "dependentSchemas") -> Callable:
+        subs = {k: self._sub(v) for k, v in arg.items()}
+
+        def kv(inst, path, scope, ann, errors):
+            if not isinstance(inst, dict):
+                return True
+            ok = True
+            for k, sub in subs.items():
+                if k in inst:
+                    s_ok, errs, s_ann = sub(inst, path, scope)
+                    if s_ok:
+                        _ann_merge(ann, s_ann)
+                    else:
+                        ok = False
+                        if errors is None:
+                            return False
+                        if errs:
+                            errors.extend(errs)
+                        self._err(errors, path, kw, f"schema dependency on {k!r} failed")
+            return ok
+
+        return kv
+
+    # ------------------------------------------------------ unevaluated*
+
+    def _kw_unevaluated_items(self, schema: Any) -> Callable:
+        sub = self._sub(schema)
+
+        def kv(inst, path, scope, ann, errors):
+            if not isinstance(inst, list) or ann is None:
+                return True
+            if ann[3]:
+                return True
+            covered_prefix = ann[1]
+            extra = ann[2] or ()
+            ok = True
+            for i in range(covered_prefix, len(inst)):
+                if i in extra:
+                    continue
+                s_ok, errs, _ = sub(inst[i], path + (i,), scope)
+                if not s_ok:
+                    ok = False
+                    if errors is None:
+                        return False
+                    self._err(errors, path + (i,), "unevaluatedItems", f"unevaluated item at {i} invalid")
+                    if errs:
+                        errors.extend(errs)
+            if ok:
+                ann[3] = True
+            return ok
+
+        return kv
+
+    def _kw_unevaluated_properties(self, schema: Any) -> Callable:
+        sub = self._sub(schema)
+
+        def kv(inst, path, scope, ann, errors):
+            if not isinstance(inst, dict) or ann is None:
+                return True
+            seen = ann[0] or ()
+            ok = True
+            newly = []
+            for k, v in inst.items():
+                if k in seen:
+                    continue
+                s_ok, errs, _ = sub(v, path + (k,), scope)
+                if not s_ok:
+                    ok = False
+                    if errors is None:
+                        return False
+                    self._err(errors, path + (k,), "unevaluatedProperties", f"unevaluated property {k!r} invalid")
+                    if errs:
+                        errors.extend(errs)
+                else:
+                    newly.append(k)
+            if ok and newly:
+                _ann_add_props(ann, newly)
+            return ok
+
+        return kv
+
+
+def _format_pointer(path: tuple) -> str:
+    if not path:
+        return ""
+    return "/" + "/".join(str(p).replace("~", "~0").replace("/", "~1") for p in path)
+
+
+class CompiledSchema:
+    """Immutable compiled schema: compile once on the driver, apply many
+    times (rows / Arrow batches) — the Spark analogue of the reference's
+    ``Schema`` closure (``Schema.java:17-23``)."""
+
+    def __init__(self, root_validator: Callable, schema: Any, config: CompileConfig):
+        self._v = root_validator
+        self.schema = schema
+        self.config = config
+
+    def validate(self, instance: Any) -> tuple[bool, list[tuple[str, str, str]]]:
+        """Validate a parsed JSON value → (ok, [(json_pointer, keyword, message)])."""
+        ok, errors, _ = self._v(instance, (), ())
+        out = [(_format_pointer(p), kw, msg) for p, kw, msg in (errors or [])]
+        return ok, out
+
+    def is_valid(self, instance: Any) -> bool:
+        return self._v(instance, (), ())[0]
+
+    def is_valid_json(self, text: str) -> bool:
+        try:
+            inst = parse_json(text)
+        except (ValueError, RecursionError):
+            return False
+        return self.is_valid(inst)
+
+    def validate_json(self, text: str) -> tuple[bool, list[tuple[str, str, str]]]:
+        try:
+            inst = parse_json(text)
+        except (ValueError, RecursionError):
+            return False, [("", "$parse", "not parseable JSON")]
+        return self.validate(inst)
+
+
+def compile_schema(
+    schema: Any,
+    registry: Optional[SchemaRegistry] = None,
+    dialect: Optional[str] = None,
+    config: Optional[CompileConfig] = None,
+    uri: str = "",
+) -> CompiledSchema:
+    """Compile a JSON Schema into a :class:`CompiledSchema`.
+
+    ``registry`` may pre-register remote ``$ref`` targets
+    (``engine.register_schema`` analogue of the reference's
+    ``IExternalResolver`` — ``SchemaBuilder.java:228-285``).
+    """
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    config = config or CompileConfig()
+    if dialect:
+        config.dialect = dialect
+    registry = registry or SchemaRegistry(default_dialect=config.dialect)
+    registry.default_dialect = config.dialect
+    registry.add(schema, uri)
+    compiler = _Compiler(registry, config)
+    root = compiler.compile_node(schema)
+    # pre-compile dynamic-anchor / recursive-anchor targets so runtime
+    # resolution is a dict lookup, never a compile
+    for node in list(registry.dynamic_anchors.values()):
+        compiler.compile_node(node)
+    for uri_ in list(registry.recursive_roots):
+        compiler.compile_node(registry.docs[uri_])
+    return CompiledSchema(root, schema, config)

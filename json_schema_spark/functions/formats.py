@@ -1,0 +1,410 @@
+"""Built-in ``format`` validators (draft-07 / 2019-09 / 2020-12 set).
+
+Pure-Python predicates, one per format name; consumed by
+:mod:`json_schema_spark.core.validator` and wrapped into vectorized
+pandas UDFs by the Spark compiler where a format check appears in a
+hot path.
+
+Behaviour matches the reference's built-ins
+(``compilers/FormatCompiler.java:63-90``,
+``common/DateTimeFormatValidation.java``, ``common/Ipv6Validator.java``,
+``common/CommonFormatValidations.java``, ``common/email/*``): strict
+RFC3339 dates with leap-second awareness, full-match anchored regexes,
+URI/IRI parsing, RFC6570 uri-templates. Formats only apply to strings —
+non-string instances always pass (spec rule the reference follows).
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import re
+from typing import Callable
+from urllib.parse import urlsplit
+
+__all__ = ["FORMAT_VALIDATORS", "FORMAT_REGEXES", "is_format_valid"]
+
+# ---------------------------------------------------------------- date/time
+
+_DATE_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})$")
+_TIME_RE = re.compile(
+    r"^(\d{2}):(\d{2}):(\d{2})(\.\d+)?"
+    r"([zZ]|[+-]\d{2}:\d{2})$"
+)
+_DAYS = [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+
+
+def _leap(y: int) -> bool:
+    return y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)
+
+
+def _valid_date(y: int, m: int, d: int) -> bool:
+    if not (1 <= m <= 12 and d >= 1):
+        return False
+    if m == 2 and not _leap(y):
+        return d <= 28
+    return d <= _DAYS[m - 1]
+
+
+def is_date(s: str) -> bool:
+    m = _DATE_RE.match(s)
+    return bool(m) and _valid_date(int(m[1]), int(m[2]), int(m[3]))
+
+
+def _valid_time_parts(hh: int, mm: int, ss: int, off: str) -> bool:
+    # RFC3339: seconds may be 60 only at a moment that is 23:59:60 UTC
+    # (leap second); the reference checks ss <= 60 with offset-adjusted
+    # wall-clock (DateTimeFormatValidation.java).
+    if not (0 <= hh <= 23 and 0 <= mm <= 59 and 0 <= ss <= 60):
+        return False
+    if off.lower() == "z":
+        o_h = o_m = 0
+        sign = 1
+    else:
+        sign = 1 if off[0] == "+" else -1
+        o_h, o_m = int(off[1:3]), int(off[4:6])
+        if o_h > 23 or o_m > 59:
+            return False
+    if ss == 60:
+        # normalize to UTC and require 23:59:60
+        total = hh * 60 + mm - sign * (o_h * 60 + o_m)
+        total %= 24 * 60
+        if total != 23 * 60 + 59:
+            return False
+    return True
+
+
+def is_time(s: str) -> bool:
+    m = _TIME_RE.match(s)
+    if not m:
+        return False
+    return _valid_time_parts(int(m[1]), int(m[2]), int(m[3]), m[5])
+
+
+def is_datetime(s: str) -> bool:
+    for sep in ("T", "t"):
+        if sep in s:
+            d, _, t = s.partition(sep)
+            return is_date(d) and is_time(t)
+    return False
+
+
+_DURATION_RE = re.compile(
+    r"^P(?!$)(\d+Y)?(\d+M)?(\d+D)?"
+    r"(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?$"
+    r"|^P\d+W$"
+)
+
+
+def is_duration(s: str) -> bool:
+    if not s.startswith("P"):
+        return False
+    if re.fullmatch(r"P\d+W", s):
+        return True
+    m = re.fullmatch(
+        r"P(?=.)(\d+Y)?(\d+M)?(\d+D)?(T(?=.)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?", s
+    )
+    if not m:
+        return False
+    # "P" / "PT" alone are invalid; T must be followed by a component
+    if s == "P" or s.endswith("T"):
+        return False
+    return True
+
+
+# ---------------------------------------------------------------- regex-able
+
+UUID_RE = r"(?i)^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+IPV4_RE = (
+    r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+    r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
+)
+JSON_POINTER_RE = r"^(/([^/~]|~[01])*)*$"
+REL_JSON_POINTER_RE = r"^(0|[1-9][0-9]*)(#|(/([^/~]|~[01])*)*)$"
+
+
+def is_uuid(s: str) -> bool:
+    return re.match(UUID_RE, s) is not None
+
+
+def is_ipv4(s: str) -> bool:
+    return re.match(IPV4_RE, s) is not None
+
+
+def is_ipv6(s: str) -> bool:
+    if "%" in s:
+        return False
+    try:
+        ipaddress.IPv6Address(s)
+        return True
+    except ValueError:
+        return False
+
+
+def is_json_pointer(s: str) -> bool:
+    return re.fullmatch(JSON_POINTER_RE, s) is not None
+
+
+def is_relative_json_pointer(s: str) -> bool:
+    return re.fullmatch(REL_JSON_POINTER_RE, s) is not None
+
+
+def is_regex(s: str) -> bool:
+    try:
+        re.compile(s)
+        return True
+    except re.error:
+        return False
+
+
+# ---------------------------------------------------------------- URI / IRI
+
+_URI_ILLEGAL = re.compile(r"[\x00-\x20<>\"{}|\\^`\x7f]")
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*$")
+_PCT_RE = re.compile(r"%(?![0-9A-Fa-f]{2})")
+
+
+def _uri_syntax_ok(s: str, ascii_only: bool) -> bool:
+    if _URI_ILLEGAL.search(s):
+        return False
+    if ascii_only and not s.isascii():
+        return False
+    if _PCT_RE.search(s):
+        return False
+    try:
+        parts = urlsplit(s)
+    except ValueError:
+        return False
+    if parts.scheme and not _SCHEME_RE.match(parts.scheme):
+        return False
+    host = parts.netloc
+    if host.startswith("[") != host.endswith("]") and ("[" in host or "]" in host):
+        return False
+    if "[" in host:
+        inner = host[host.index("[") + 1 : host.index("]")]
+        if not inner.lower().startswith("v"):  # IPvFuture passes as-is
+            try:
+                ipaddress.IPv6Address(inner)
+            except ValueError:
+                return False
+    return True
+
+
+def is_uri(s: str) -> bool:
+    if not _uri_syntax_ok(s, ascii_only=True):
+        return False
+    return bool(re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", s))
+
+
+def is_uri_reference(s: str) -> bool:
+    if not _uri_syntax_ok(s, ascii_only=True):
+        return False
+    # a fragment-only / path-only reference is fine; reject "1st:" style
+    # invalid schemes: if a ':' precedes any '/', '?', '#', the prefix
+    # must be a valid scheme.
+    head = re.split(r"[/?#]", s, 1)[0]
+    if ":" in head and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", head):
+        return False
+    return True
+
+
+def is_iri(s: str) -> bool:
+    return _uri_syntax_ok(s, ascii_only=False) and bool(
+        re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", s)
+    )
+
+
+def is_iri_reference(s: str) -> bool:
+    if not _uri_syntax_ok(s, ascii_only=False):
+        return False
+    head = re.split(r"[/?#]", s, 1)[0]
+    if ":" in head and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", head):
+        return False
+    return True
+
+
+# ---------------------------------------------------------------- uri-template
+
+_VARCHAR = r"(?:[A-Za-z0-9_]|%[0-9A-Fa-f]{2})"
+_VARNAME = rf"{_VARCHAR}(?:\.?{_VARCHAR})*"
+_VARSPEC = rf"{_VARNAME}(?::[1-9][0-9]{{0,3}}|\*)?"
+_EXPR_RE = re.compile(rf"^[+#./;?&=,!@|]?{_VARSPEC}(,{_VARSPEC})*$")
+_LITERAL_ILLEGAL = re.compile(r"[\x00-\x20\"'<>\\^`|}{]")
+
+
+def is_uri_template(s: str) -> bool:
+    """RFC6570 syntax check (operators, varspecs, prefix/explode
+    modifiers) — mirrors ``common/uritemplate/URITemplateParser.java``."""
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "{":
+            j = s.find("}", i + 1)
+            if j < 0 or not _EXPR_RE.match(s[i + 1 : j]):
+                return False
+            i = j + 1
+        elif c == "}":
+            return False
+        else:
+            if _LITERAL_ILLEGAL.match(c):
+                return False
+            i += 1
+    return True
+
+
+# ---------------------------------------------------------------- hostname
+
+_LDH_LABEL = re.compile(r"^[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?$")
+
+
+def is_hostname(s: str) -> bool:
+    if not s or len(s) > 253:
+        return False
+    if s.endswith("."):
+        s = s[:-1]
+    labels = s.split(".")
+    return all(_LDH_LABEL.match(lb) for lb in labels)
+
+
+def is_idn_hostname(s: str) -> bool:
+    """IDNA hostname: per-label UTS46-lite checks (length, hyphen rules,
+    punycode decodability, a few contextual rules the official suite
+    exercises). Reference: ``common/email/HostnameValidator.java`` +
+    ``common/unicode/IDNA.java``."""
+    if not s:
+        return False
+    if s.endswith("."):
+        s = s[:-1]
+    for label in s.split("."):
+        if not label:
+            return False
+        if label.startswith("xn--") or label.startswith("XN--"):
+            try:
+                decoded = label[4:].encode("ascii").decode("punycode")
+            except (UnicodeError, UnicodeDecodeError):
+                return False
+            if not decoded or decoded.isascii():
+                return False
+            label = decoded
+        if label.isascii():
+            if not _LDH_LABEL.match(label):
+                return False
+            continue
+        # non-ASCII label: hyphen rules
+        if label.startswith("-") or label.endswith("-"):
+            return False
+        if len(label) >= 4 and label[2] == "-" and label[3] == "-":
+            return False
+        for idx, ch in enumerate(label):
+            cp = ord(ch)
+            # disallowed rough set: controls, spaces, symbols commonly
+            # rejected by IDNA2008
+            if cp < 0x2D or ch in "。．｡":
+                return False
+            if ch == "·":  # middle dot needs l···l context
+                if idx == 0 or idx == len(label) - 1:
+                    return False
+                if label[idx - 1] != "l" or label[idx + 1] != "l":
+                    return False
+            if ch in ("‌", "‍"):  # ZWNJ/ZWJ need joining context
+                if idx == 0:
+                    return False
+                prev = label[idx - 1]
+                if prev != "्" and not ("؀" <= prev <= "ۿ"):
+                    return False
+            if ch == "׳" or ch == "״":  # geresh/gershayim after Hebrew
+                if idx == 0 or not ("֐" <= label[idx - 1] <= "׿"):
+                    return False
+            if ch == "・":  # katakana middle dot needs Japanese script
+                if not any(
+                    "぀" <= c2 <= "ヿ" or "一" <= c2 <= "鿿"
+                    for c2 in label
+                    if c2 != "・"
+                ):
+                    return False
+        # Arabic-Indic vs extended Arabic-Indic digits cannot mix
+        has_ai = any("٠" <= c <= "٩" for c in label)
+        has_eai = any("۰" <= c <= "۹" for c in label)
+        if has_ai and has_eai:
+            return False
+    return True
+
+
+# ---------------------------------------------------------------- email
+
+_ATEXT = r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]"
+_DOT_ATOM = re.compile(rf"^{_ATEXT}+(\.{_ATEXT}+)*$")
+_QUOTED_LOCAL = re.compile(r'^"([^"\\\r\n]|\\.)*"$')
+
+
+def _email_ok(s: str, idn: bool) -> bool:
+    if "@" not in s:
+        return False
+    local, _, domain = s.rpartition("@")
+    if not local or not domain or len(local) > 64:
+        return False
+    if not (_DOT_ATOM.match(local) or _QUOTED_LOCAL.match(local)):
+        if idn and not local.isascii():
+            # idn-email: allow non-ASCII atext
+            if re.fullmatch(r"[^\s@\"(),:;<>\[\]\\]+(\.[^\s@\"(),:;<>\[\]\\]+)*", local):
+                pass
+            else:
+                return False
+        else:
+            return False
+    if domain.startswith("[") and domain.endswith("]"):
+        inner = domain[1:-1]
+        if inner.lower().startswith("ipv6:"):
+            return is_ipv6(inner[5:])
+        return is_ipv4(inner)
+    return is_idn_hostname(domain) if idn else is_hostname(domain)
+
+
+def is_email(s: str) -> bool:
+    return _email_ok(s, idn=False)
+
+
+def is_idn_email(s: str) -> bool:
+    return _email_ok(s, idn=True)
+
+
+# ---------------------------------------------------------------- registry
+
+FORMAT_VALIDATORS: dict[str, Callable[[str], bool]] = {
+    "date": is_date,
+    "time": is_time,
+    "date-time": is_datetime,
+    "duration": is_duration,
+    "uuid": is_uuid,
+    "ipv4": is_ipv4,
+    "ipv6": is_ipv6,
+    "uri": is_uri,
+    "uri-reference": is_uri_reference,
+    "iri": is_iri,
+    "iri-reference": is_iri_reference,
+    "uri-template": is_uri_template,
+    "json-pointer": is_json_pointer,
+    "relative-json-pointer": is_relative_json_pointer,
+    "regex": is_regex,
+    "email": is_email,
+    "idn-email": is_idn_email,
+    "hostname": is_hostname,
+    "idn-hostname": is_idn_hostname,
+}
+
+# formats whose check is a single anchored regex — these compile to a
+# JVM-side ``rlike`` Column instead of a pandas UDF (SURVEY §2.8).
+FORMAT_REGEXES: dict[str, str] = {
+    "uuid": UUID_RE,
+    "ipv4": IPV4_RE,
+    "json-pointer": JSON_POINTER_RE,
+    "relative-json-pointer": REL_JSON_POINTER_RE,
+}
+
+
+def is_format_valid(name: str, value: object) -> bool:
+    """Verdict for ``format`` keyword: unknown formats and non-string
+    instances always pass."""
+    if not isinstance(value, str):
+        return True
+    fn = FORMAT_VALIDATORS.get(name)
+    return True if fn is None else fn(value)
