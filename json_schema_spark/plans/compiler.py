@@ -1,0 +1,735 @@
+"""Schema → Spark SQL ``Column`` expression compiler (the fast path).
+
+A JSON Schema is compiled **once on the driver** into a list of
+:class:`Check` columns — pure Catalyst expressions, whole-stage
+code-generated, no Python on the hot path. Two instance encodings:
+
+* **variant mode** (:class:`VariantCompiler`): the document is a JSON
+  string column parsed once via ``F.try_parse_json``; keyword checks
+  use ``try_variant_get`` / ``schema_of_variant`` / ``is_variant_null``
+  so absent-vs-JSON-null and per-value dynamic types are exact.
+* **typed-row mode** (:class:`TypedRowCompiler`): the "document" is the
+  row of a typed DataFrame (the Iceberg source-code table of
+  BASELINE.json's input_hint); property subschemas bind to real columns
+  and the JSON type check partially evaluates against the column's
+  Spark type at compile time.
+
+Schemas using features with no sound Column encoding (recursive $ref,
+unevaluated*, non-regex formats, content keywords, composite enum
+values, …) raise :class:`ExprUnsupported`; the runner then falls back
+to the vectorized pandas-UDF kernel
+(:mod:`json_schema_spark.core.validator`). This mirrors the reference's
+compile-time partial evaluation + transformer fusion
+(``compilers/ICompiler.java:14-17``, ``Compiler.java:91-96``) with
+Catalyst taking the role of its runtime (SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from decimal import Decimal
+from functools import reduce
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql import types as T
+
+from ..core.jsonvalue import to_decimal
+from ..core.registry import SchemaRegistry
+from ..functions.formats import FORMAT_REGEXES
+
+__all__ = ["Check", "ExprUnsupported", "VariantCompiler", "TypedRowCompiler", "DEC"]
+
+DEC = "decimal(38,18)"  # exact-decimal keyword arithmetic (SURVEY §1.1)
+
+_SAFE_KEY = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+class ExprUnsupported(Exception):
+    """Schema not expressible as a static Column plan → UDF fallback."""
+
+
+@dataclass
+class Check:
+    fail: Column  # TRUE ⇔ violation (never NULL)
+    path: str  # JSON pointer of the instance location
+    keyword: str
+    message: str
+
+
+def _nn(cond: Column) -> Column:
+    """Null-safe: NULL → False."""
+    return F.coalesce(cond, F.lit(False))
+
+
+def ok_of(checks: list[Check]) -> Column:
+    if not checks:
+        return F.lit(True)
+    return ~reduce(lambda a, b: a | b, [c.fail for c in checks])
+
+
+def violations_array(checks: list[Check]) -> Column:
+    """array<struct<path,keyword,message>> of fired checks."""
+    if not checks:
+        return F.array().cast("array<struct<path:string,keyword:string,message:string>>")
+    entries = [
+        F.when(
+            c.fail,
+            F.struct(
+                F.lit(c.path).alias("path"),
+                F.lit(c.keyword).alias("keyword"),
+                F.lit(c.message).alias("message"),
+            ),
+        )
+        for c in checks
+    ]
+    return F.filter(F.array(*entries), lambda x: x.isNotNull())
+
+
+_SCALAR = ("string", "number", "integer", "boolean", "null")
+
+_UNSUPPORTED_KEYWORDS = (
+    "unevaluatedProperties",
+    "unevaluatedItems",
+    "$recursiveRef",
+    "$dynamicRef",
+    "contentSchema",
+)
+
+
+class _BaseCompiler:
+    """Shared combinator / dispatch logic for both encodings."""
+
+    def __init__(self, registry: SchemaRegistry, dialect: str = "draft7",
+                 format_assertions: bool = False, content_asserts: bool = False):
+        self.registry = registry
+        self.dialect = dialect
+        self.format_assertions = format_assertions
+        self.content_asserts = content_asserts
+        self._ref_stack: list[int] = []
+
+    # -- helpers -----------------------------------------------------
+
+    def _ptr(self, path: tuple) -> str:
+        if not path:
+            return ""
+        return "/" + "/".join(str(p) for p in path)
+
+    def _regex(self, pattern: str) -> str:
+        try:
+            re.compile(pattern)
+        except re.error as e:
+            raise ExprUnsupported(f"regex not compilable: {pattern!r}: {e}") from e
+        return pattern
+
+    def _guard_keywords(self, node: dict) -> None:
+        for kw in _UNSUPPORTED_KEYWORDS:
+            if kw in node:
+                raise ExprUnsupported(f"keyword {kw!r} needs the UDF kernel")
+        if ("contentEncoding" in node or "contentMediaType" in node) and (
+            self.content_asserts or self.dialect == "draft7"
+        ):
+            raise ExprUnsupported("content assertions need the UDF kernel")
+        if "format" in node and self.format_assertions and node["format"] not in FORMAT_REGEXES:
+            raise ExprUnsupported(f"format {node['format']!r} needs the UDF kernel")
+        if "patternProperties" in node or "propertyNames" in node:
+            # handled by VariantCompiler only; TypedRow overrides
+            pass
+
+    # -- schema dispatch (shared shape; value ops via self.v_*) -------
+
+    def compile(self, node: Any, val, path: tuple) -> list[Check]:
+        """Compile schema ``node`` against abstract value ``val``."""
+        if node is True or node == {}:
+            return []
+        if node is False:
+            return [Check(self.v_present(val), self._ptr(path), "false", "schema is false")]
+        if not isinstance(node, dict):
+            raise ExprUnsupported(f"schema must be object/bool, got {type(node).__name__}")
+
+        if "$ref" in node:
+            base = self.registry.base_of(node)
+            target = self.registry.resolve_ref(node["$ref"], base)
+            tid = id(target)
+            if tid in self._ref_stack:
+                raise ExprUnsupported("recursive $ref needs the UDF kernel")
+            self._ref_stack.append(tid)
+            try:
+                ref_checks = self.compile(target, val, path)
+            finally:
+                self._ref_stack.pop()
+            if self.dialect == "draft7":
+                return ref_checks  # $ref replaces siblings (RefCompiler.java:50-66)
+            rest = {k: v for k, v in node.items() if k != "$ref"}
+            return ref_checks + self.compile(rest if rest else True, val, path)
+
+        self._guard_keywords(node)
+        checks: list[Check] = []
+        p = self._ptr(path)
+
+        if "type" in node:
+            types = [node["type"]] if isinstance(node["type"], str) else list(node["type"])
+            m = reduce(lambda a, b: a | b, [self.v_type_is(val, t) for t in types])
+            checks.append(Check(_nn(self.v_present(val) & ~m), p, "type",
+                                f"expected {'/'.join(types)}"))
+        if "enum" in node:
+            checks.append(self._c_enum(node["enum"], val, p, "enum"))
+        if "const" in node:
+            checks.append(self._c_enum([node["const"]], val, p, "const"))
+        for kw, op in (("minimum", ">="), ("maximum", "<="),
+                       ("exclusiveMinimum", ">"), ("exclusiveMaximum", "<")):
+            if kw in node:
+                if isinstance(node[kw], bool):
+                    raise ExprUnsupported("draft-04 boolean exclusive bounds unsupported")
+                bound = F.lit(to_decimal(node[kw])).cast(DEC)
+                num = self.v_as_number(val)
+                cmpc = {"<": num < bound, "<=": num <= bound,
+                        ">": num > bound, ">=": num >= bound}[op]
+                checks.append(Check(_nn(self.v_is_number(val) & ~_nn(cmpc)), p, kw,
+                                    f"violates {kw} {node[kw]}"))
+        if "multipleOf" in node:
+            m = F.lit(to_decimal(node["multipleOf"])).cast(DEC)
+            ok = self.v_as_number(val) % m == 0
+            checks.append(Check(_nn(self.v_is_number(val) & ~_nn(ok)), p, "multipleOf",
+                                f"not a multiple of {node['multipleOf']}"))
+        if "pattern" in node:
+            rx = self._regex(node["pattern"])
+            s = self.v_as_string(val)
+            checks.append(Check(_nn(self.v_is_string(val) & ~_nn(s.rlike(rx))), p,
+                                "pattern", f"does not match /{rx}/"))
+        if "minLength" in node:
+            s = self.v_as_string(val)
+            checks.append(Check(_nn(self.v_is_string(val) & (F.length(s) < int(node["minLength"]))),
+                                p, "minLength", f"shorter than {node['minLength']}"))
+        if "maxLength" in node:
+            s = self.v_as_string(val)
+            checks.append(Check(_nn(self.v_is_string(val) & (F.length(s) > int(node["maxLength"]))),
+                                p, "maxLength", f"longer than {node['maxLength']}"))
+        if "format" in node and self.format_assertions:
+            rx = FORMAT_REGEXES[node["format"]]
+            s = self.v_as_string(val)
+            checks.append(Check(_nn(self.v_is_string(val) & ~_nn(s.rlike(rx))), p,
+                                "format", f"not a valid {node['format']}"))
+
+        checks.extend(self._object_keywords(node, val, path))
+        checks.extend(self._array_keywords(node, val, path))
+
+        # combinators: one fused check each (SURVEY §2.5)
+        if "allOf" in node:
+            subs = [self.compile(s, val, path) for s in node["allOf"]]
+            checks.extend(c for cs in subs for c in cs)
+        if "anyOf" in node:
+            oks = [ok_of(self.compile(s, val, path)) for s in node["anyOf"]]
+            checks.append(Check(_nn(self.v_present(val) & ~reduce(lambda a, b: a | b, oks)),
+                                p, "anyOf", "no branch matched"))
+        if "oneOf" in node:
+            oks = [ok_of(self.compile(s, val, path)) for s in node["oneOf"]]
+            n_ok = reduce(lambda a, b: a + b, [o.cast("int") for o in oks])
+            checks.append(Check(_nn(self.v_present(val) & (n_ok != 1)), p, "oneOf",
+                                "need exactly one matching branch"))
+        if "not" in node:
+            sub_ok = ok_of(self.compile(node["not"], val, path))
+            checks.append(Check(_nn(self.v_present(val) & sub_ok), p, "not",
+                                "instance matches 'not' schema"))
+        if "if" in node:
+            cond = ok_of(self.compile(node["if"], val, path))
+            then_ok = ok_of(self.compile(node["then"], val, path)) if "then" in node else F.lit(True)
+            else_ok = ok_of(self.compile(node["else"], val, path)) if "else" in node else F.lit(True)
+            fused = F.when(cond, then_ok).otherwise(else_ok)
+            checks.append(Check(_nn(self.v_present(val) & ~fused), p, "if",
+                                "conditional schema failed"))
+        deps = {}
+        if "dependentRequired" in node:
+            deps.update({k: v for k, v in node["dependentRequired"].items()})
+        if "dependencies" in node:
+            deps.update(node["dependencies"])
+        for k, d in deps.items():
+            trigger = self.v_has_prop(val, k)
+            if isinstance(d, list):
+                need = [self.v_has_prop(val, n) for n in d]
+                ok = reduce(lambda a, b: a & b, need) if need else F.lit(True)
+                checks.append(Check(_nn(trigger & ~ok), p, "dependentRequired",
+                                    f"{k!r} requires {d}"))
+            else:
+                sub_ok = ok_of(self.compile(d, val, path))
+                checks.append(Check(_nn(trigger & ~sub_ok), p, "dependentSchemas",
+                                    f"schema dependency on {k!r} failed"))
+        if "dependentSchemas" in node:
+            for k, d in node["dependentSchemas"].items():
+                trigger = self.v_has_prop(val, k)
+                sub_ok = ok_of(self.compile(d, val, path))
+                checks.append(Check(_nn(trigger & ~sub_ok), p, "dependentSchemas",
+                                    f"schema dependency on {k!r} failed"))
+        return checks
+
+    def _c_enum(self, members: list, val, p: str, kw: str) -> Check:
+        conds = []
+        for m in members:
+            if isinstance(m, bool):
+                conds.append(self.v_is_bool(val) & (self.v_as_bool(val) == F.lit(m)))
+            elif m is None:
+                conds.append(self.v_is_null(val))
+            elif isinstance(m, str):
+                conds.append(self.v_is_string(val) & (self.v_as_string(val) == F.lit(m)))
+            elif isinstance(m, (int, float, Decimal)):
+                conds.append(self.v_is_number(val)
+                             & (self.v_as_number(val) == F.lit(to_decimal(m)).cast(DEC)))
+            else:
+                raise ExprUnsupported(f"{kw} with composite member needs the UDF kernel")
+        any_ok = reduce(lambda a, b: a | b, [_nn(c) for c in conds])
+        return Check(_nn(self.v_present(val) & ~any_ok), p, kw, f"value not in {kw}")
+
+    # -- abstract value ops (overridden per encoding) ------------------
+
+    def v_present(self, val) -> Column: ...
+    def v_type_is(self, val, t: str) -> Column: ...
+    def v_is_string(self, val) -> Column: ...
+    def v_is_number(self, val) -> Column: ...
+    def v_is_bool(self, val) -> Column: ...
+    def v_is_null(self, val) -> Column: ...
+    def v_as_string(self, val) -> Column: ...
+    def v_as_number(self, val) -> Column: ...
+    def v_as_bool(self, val) -> Column: ...
+    def v_has_prop(self, val, name: str) -> Column: ...
+    def _object_keywords(self, node, val, path) -> list[Check]: ...
+    def _array_keywords(self, node, val, path) -> list[Check]: ...
+
+
+class VariantCompiler(_BaseCompiler):
+    """JSON-string mode: value = a VariantType Column (possibly NULL =
+    absent). Type tests use ``schema_of_variant``; JSON null is VOID."""
+
+    # value = Column of VariantType
+
+    def v_present(self, v: Column) -> Column:
+        return v.isNotNull()
+
+    def _vt(self, v: Column) -> Column:
+        return F.schema_of_variant(v)
+
+    def v_type_is(self, v: Column, t: str) -> Column:
+        vt = self._vt(v)
+        if t == "string":
+            return _nn(vt == "STRING")
+        if t == "boolean":
+            return _nn(vt == "BOOLEAN")
+        if t == "null":
+            return _nn(vt == "VOID")
+        if t == "array":
+            return _nn(vt.startswith("ARRAY"))
+        if t == "object":
+            return _nn(vt.startswith("OBJECT"))
+        if t == "number":
+            return self.v_is_number(v)
+        if t == "integer":
+            return _nn(self.v_is_number(v) & _nn(self.v_as_number(v) % F.lit(1).cast(DEC) == 0))
+        raise ExprUnsupported(f"unknown type {t!r}")
+
+    def v_is_string(self, v: Column) -> Column:
+        return _nn(self._vt(v) == "STRING")
+
+    def v_is_number(self, v: Column) -> Column:
+        vt = self._vt(v)
+        return _nn((vt == "BIGINT") | (vt == "DOUBLE") | (vt == "FLOAT") | vt.startswith("DECIMAL"))
+
+    def v_is_bool(self, v: Column) -> Column:
+        return _nn(self._vt(v) == "BOOLEAN")
+
+    def v_is_null(self, v: Column) -> Column:
+        return _nn(F.is_variant_null(v))
+
+    def v_as_string(self, v: Column) -> Column:
+        return F.try_variant_get(v, "$", "string")
+
+    def v_as_number(self, v: Column) -> Column:
+        return F.try_variant_get(v, "$", DEC)
+
+    def v_as_bool(self, v: Column) -> Column:
+        return F.try_variant_get(v, "$", "boolean")
+
+    def _child(self, v: Column, name: str) -> Column:
+        if not _SAFE_KEY.match(name):
+            raise ExprUnsupported(f"property name {name!r} not JSONPath-safe")
+        return F.try_variant_get(v, f"$.{name}", "variant")
+
+    def v_has_prop(self, v: Column, name: str) -> Column:
+        return _nn(self.v_type_is(v, "object") & self._child(v, name).isNotNull())
+
+    def _as_map(self, v: Column) -> Column:
+        return F.try_variant_get(v, "$", "map<string,variant>")
+
+    def _as_array(self, v: Column) -> Column:
+        return F.try_variant_get(v, "$", "array<variant>")
+
+    def _object_keywords(self, node: dict, v: Column, path: tuple) -> list[Check]:
+        checks: list[Check] = []
+        p = self._ptr(path)
+        is_obj = self.v_type_is(v, "object")
+        if "required" in node:
+            for name in node["required"]:
+                if not _SAFE_KEY.match(name):
+                    raise ExprUnsupported(f"required name {name!r} not JSONPath-safe")
+                checks.append(Check(_nn(is_obj & self._child(v, name).isNull()),
+                                    p, "required", f"missing property {name!r}"))
+        if "properties" in node:
+            for name, sub in node["properties"].items():
+                checks.extend(self.compile(sub, self._child(v, name), path + (name,)))
+        if "minProperties" in node:
+            checks.append(Check(_nn(is_obj & (F.size(F.map_keys(self._as_map(v))) < int(node["minProperties"]))),
+                                p, "minProperties", f"fewer than {node['minProperties']} properties"))
+        if "maxProperties" in node:
+            checks.append(Check(_nn(is_obj & (F.size(F.map_keys(self._as_map(v))) > int(node["maxProperties"]))),
+                                p, "maxProperties", f"more than {node['maxProperties']} properties"))
+        if "propertyNames" in node:
+            ok_fn = self._string_pred(node["propertyNames"])
+            keys = F.map_keys(self._as_map(v))
+            checks.append(Check(_nn(is_obj & ~_nn(F.forall(keys, ok_fn))), p,
+                                "propertyNames", "invalid property name"))
+        pat_rx = [self._regex(rx) for rx in (node.get("patternProperties") or {})]
+        if "patternProperties" in node:
+            for rx, sub in node["patternProperties"].items():
+                sub_ok = self._value_pred(sub, path)
+                m = self._as_map(v)
+                keys = F.filter(F.map_keys(m), lambda k: _nn(k.rlike(self._regex(rx))))
+                all_ok = F.forall(keys, lambda k: sub_ok(F.element_at(m, k)))
+                checks.append(Check(_nn(is_obj & ~_nn(all_ok)), p, "patternProperties",
+                                    f"value of property matching /{rx}/ invalid"))
+        if "additionalProperties" in node:
+            known = list((node.get("properties") or {}).keys())
+            m = self._as_map(v)
+            def is_additional(k):
+                cond = F.lit(True)
+                if known:
+                    cond = cond & ~k.isin(known)
+                for rx in pat_rx:
+                    cond = cond & ~_nn(k.rlike(rx))
+                return cond
+            extra = F.filter(F.map_keys(m), is_additional)
+            if node["additionalProperties"] is False:
+                checks.append(Check(_nn(is_obj & (F.size(extra) > 0)), p,
+                                    "additionalProperties", "additional properties present"))
+            else:
+                sub_ok = self._value_pred(node["additionalProperties"], path)
+                all_ok = F.forall(extra, lambda k: sub_ok(F.element_at(m, k)))
+                checks.append(Check(_nn(is_obj & ~_nn(all_ok)), p,
+                                    "additionalProperties", "an additional property is invalid"))
+        return checks
+
+    def _array_keywords(self, node: dict, v: Column, path: tuple) -> list[Check]:
+        checks: list[Check] = []
+        p = self._ptr(path)
+        is_arr = self.v_type_is(v, "array")
+        arr = self._as_array(v)
+        items = node.get("items")
+        prefix: list = []
+        tail_schema = None
+        if self.dialect == "2020-12":
+            prefix = node.get("prefixItems") or []
+            tail_schema = items
+        else:
+            if isinstance(items, list):
+                prefix = items
+                tail_schema = node.get("additionalItems")
+            else:
+                tail_schema = items
+        for i, sub in enumerate(prefix):
+            el = F.try_element_at(arr, F.lit(i + 1))
+            sub_ok = self._value_pred(sub, path + (i,))(el)
+            has = F.size(arr) > i
+            checks.append(Check(_nn(is_arr & has & ~_nn(sub_ok)), self._ptr(path + (i,)),
+                                "prefixItems" if self.dialect == "2020-12" else "items",
+                                f"item {i} invalid"))
+        if tail_schema is not None:
+            start = len(prefix)
+            kwname = "items" if not (prefix and self.dialect != "2020-12") else "additionalItems"
+            if self.dialect == "2020-12":
+                kwname = "items"
+            if tail_schema is False:
+                checks.append(Check(_nn(is_arr & (F.size(arr) > start)), p, kwname,
+                                    f"no items allowed beyond index {start - 1}"))
+            elif tail_schema is not True:
+                sub_ok = self._value_pred(tail_schema, path)
+                tail = F.slice(arr, start + 1, F.greatest(F.size(arr) - start, F.lit(0)))
+                checks.append(Check(_nn(is_arr & ~_nn(F.forall(tail, sub_ok))), p, kwname,
+                                    "an item is invalid"))
+        if "contains" in node:
+            sub_ok = self._value_pred(node["contains"], path)
+            n = F.size(F.filter(arr, sub_ok))
+            lo = 1
+            hi = None
+            if self.dialect != "draft7":
+                lo = int(node.get("minContains", 1))
+                hi = int(node["maxContains"]) if "maxContains" in node else None
+            cond_ok = n >= lo
+            if hi is not None:
+                cond_ok = cond_ok & (n <= hi)
+            checks.append(Check(_nn(is_arr & ~_nn(cond_ok)), p, "contains",
+                                f"matching-item count outside [{lo}, {hi if hi is not None else '∞'}]"))
+        if "minItems" in node:
+            checks.append(Check(_nn(is_arr & (F.size(arr) < int(node["minItems"]))), p,
+                                "minItems", f"fewer than {node['minItems']} items"))
+        if "maxItems" in node:
+            checks.append(Check(_nn(is_arr & (F.size(arr) > int(node["maxItems"]))), p,
+                                "maxItems", f"more than {node['maxItems']} items"))
+        if node.get("uniqueItems") is True:
+            # canonicalize numbers through decimal so 1 == 1.0; other
+            # kinds via to_json (objects: key order preserved — the
+            # kernel is authoritative for exotic key-order duplicates)
+            canon = F.transform(
+                arr,
+                lambda x: F.when(
+                    self.v_is_number(x), F.try_variant_get(x, "$", DEC).cast("string")
+                ).otherwise(F.to_json(x)),
+            )
+            checks.append(Check(_nn(is_arr & (F.size(F.array_distinct(canon)) != F.size(arr))),
+                                p, "uniqueItems", "duplicate items"))
+        return checks
+
+    def _value_pred(self, sub: Any, path: tuple) -> Callable[[Column], Column]:
+        """Subschema as a reusable predicate fn(variant) -> ok Column,
+        for higher-order contexts (forall/filter lambdas)."""
+
+        def pred(el: Column) -> Column:
+            return ok_of(self.compile(sub, el, path))
+
+        return pred
+
+    def _string_pred(self, sub: Any) -> Callable[[Column], Column]:
+        """propertyNames subschema over plain string keys."""
+        if sub is True or sub == {}:
+            return lambda k: F.lit(True)
+        if sub is False:
+            return lambda k: F.lit(False)
+        if not isinstance(sub, dict):
+            raise ExprUnsupported("bad propertyNames schema")
+        allowed = {"pattern", "minLength", "maxLength", "enum", "const", "type",
+                   "format", "$comment", "title", "description"}
+        if set(sub) - allowed:
+            raise ExprUnsupported(f"propertyNames keywords {set(sub) - allowed} need the UDF kernel")
+
+        def pred(k: Column) -> Column:
+            ok = F.lit(True)
+            if sub.get("type") not in (None, "string"):
+                return F.lit(False)
+            if "pattern" in sub:
+                ok = ok & _nn(k.rlike(self._regex(sub["pattern"])))
+            if "minLength" in sub:
+                ok = ok & (F.length(k) >= int(sub["minLength"]))
+            if "maxLength" in sub:
+                ok = ok & (F.length(k) <= int(sub["maxLength"]))
+            if "enum" in sub:
+                ok = ok & k.isin([m for m in sub["enum"] if isinstance(m, str)])
+            if "const" in sub:
+                ok = ok & (k == F.lit(sub["const"]))
+            if "format" in sub and self.format_assertions:
+                rx = FORMAT_REGEXES.get(sub["format"])
+                if rx is None:
+                    raise ExprUnsupported(f"format {sub['format']!r} in propertyNames")
+                ok = ok & _nn(k.rlike(rx))
+            return ok
+
+        return pred
+
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_NUMERIC = _INTEGRAL + (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+class TypedRowCompiler(_BaseCompiler):
+    """Typed-row mode: value = (Column, Spark DataType). The JSON type
+    of a value is statically known from the column type, so ``type``
+    checks fold to constants; NULL column values mean *absent* (so
+    ``required`` ⇔ IS NOT NULL — the data-validation convention for the
+    source-code table, FIXTURES.md §1)."""
+
+    # value = (col: Column | None, dtype: DataType | None, root_fields: dict | None)
+    # root value: (None, None, {name: (Column, DataType)})
+
+    def v_present(self, val) -> Column:
+        col, dt, fields = val
+        if fields is not None:
+            return F.lit(True)
+        return col.isNotNull()
+
+    def _static(self, val, want: str) -> Optional[bool]:
+        """Statically decide whether this value's Spark type can ever
+        match JSON type ``want`` (None = needs runtime check)."""
+        col, dt, fields = val
+        if fields is not None:
+            return want == "object"
+        if isinstance(dt, T.StringType):
+            return want == "string"
+        if isinstance(dt, T.BooleanType):
+            return want == "boolean"
+        if isinstance(dt, _INTEGRAL):
+            return want in ("integer", "number")
+        if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            if want == "number":
+                return True
+            if want == "integer":
+                return None  # runtime fraction check
+            return False
+        if isinstance(dt, T.ArrayType):
+            return want == "array"
+        if isinstance(dt, (T.StructType, T.MapType)):
+            return want == "object"
+        if isinstance(dt, T.NullType):
+            return want == "null"
+        if isinstance(dt, (T.DateType, T.TimestampType)):
+            return want == "string"  # serialized as RFC3339 strings in JSON
+        raise ExprUnsupported(f"unsupported column type {dt}")
+
+    def v_type_is(self, val, t: str) -> Column:
+        col, dt, fields = val
+        if t == "null":
+            # typed mode: NULL means absent, not JSON null
+            return F.lit(False)
+        st = self._static(val, t)
+        if st is None and t == "integer":
+            return _nn(col.cast(DEC) % F.lit(1).cast(DEC) == 0)
+        if st:
+            return self.v_present(val)
+        return F.lit(False)
+
+    def v_is_string(self, val) -> Column:
+        return self.v_type_is(val, "string")
+
+    def v_is_number(self, val) -> Column:
+        return self.v_type_is(val, "number")
+
+    def v_is_bool(self, val) -> Column:
+        return self.v_type_is(val, "boolean")
+
+    def v_is_null(self, val) -> Column:
+        return F.lit(False)
+
+    def v_as_string(self, val) -> Column:
+        col, dt, fields = val
+        if isinstance(dt, (T.DateType, T.TimestampType)):
+            return col.cast("string")
+        return col if isinstance(dt, T.StringType) else col.cast("string")
+
+    def v_as_number(self, val) -> Column:
+        col, dt, fields = val
+        return col.cast(DEC)
+
+    def v_as_bool(self, val) -> Column:
+        col, dt, fields = val
+        return col
+
+    def _field(self, val, name: str):
+        col, dt, fields = val
+        if fields is not None:
+            if name not in fields:
+                return (F.lit(None), T.NullType(), None)
+            c, d = fields[name]
+            return (c, d, None)
+        if isinstance(dt, T.StructType):
+            sub = {f.name: f.dataType for f in dt.fields}
+            if name not in sub:
+                return (F.lit(None), T.NullType(), None)
+            return (col.getField(name), sub[name], None)
+        if isinstance(dt, T.MapType):
+            return (F.element_at(col, F.lit(name)), dt.valueType, None)
+        return (F.lit(None), T.NullType(), None)
+
+    def v_has_prop(self, val, name: str) -> Column:
+        child = self._field(val, name)
+        return _nn(self.v_present(val) & self.v_present(child))
+
+    def _object_keywords(self, node: dict, val, path: tuple) -> list[Check]:
+        checks: list[Check] = []
+        p = self._ptr(path)
+        col, dt, fields = val
+        if "required" in node:
+            for name in node["required"]:
+                child = self._field(val, name)
+                checks.append(Check(_nn(self.v_present(val) & ~self.v_present(child)),
+                                    p, "required", f"missing property {name!r}"))
+        if "properties" in node:
+            for name, sub in node["properties"].items():
+                checks.extend(self.compile(sub, self._field(val, name), path + (name,)))
+        for kw in ("minProperties", "maxProperties", "patternProperties",
+                   "propertyNames", "additionalProperties"):
+            if kw in node and fields is None and not isinstance(dt, T.MapType):
+                # struct columns have a static property set; additional*
+                # is vacuous, counts are static — only reject what we
+                # cannot statically guarantee
+                if kw in ("patternProperties", "propertyNames"):
+                    raise ExprUnsupported(f"{kw} on typed rows needs a map column")
+        if isinstance(dt, T.MapType) if fields is None else False:
+            m = col
+            if "minProperties" in node:
+                checks.append(Check(_nn(self.v_present(val) & (F.size(m) < int(node["minProperties"]))),
+                                    p, "minProperties", "too few properties"))
+            if "maxProperties" in node:
+                checks.append(Check(_nn(self.v_present(val) & (F.size(m) > int(node["maxProperties"]))),
+                                    p, "maxProperties", "too many properties"))
+        return checks
+
+    def _array_keywords(self, node: dict, val, path: tuple) -> list[Check]:
+        checks: list[Check] = []
+        p = self._ptr(path)
+        col, dt, fields = val
+        if fields is not None or not isinstance(dt, T.ArrayType):
+            if any(k in node for k in ("items", "prefixItems", "contains", "minItems",
+                                        "maxItems", "uniqueItems", "additionalItems")):
+                # array keywords are type-gated no-ops on non-arrays
+                return checks
+            return checks
+        et = dt.elementType
+        is_arr = self.v_present(val)
+        items = node.get("items")
+        prefix: list = []
+        tail = None
+        if self.dialect == "2020-12":
+            prefix = node.get("prefixItems") or []
+            tail = items
+        elif isinstance(items, list):
+            prefix, tail = items, node.get("additionalItems")
+        else:
+            tail = items
+
+        def el_pred(sub, pth):
+            def pred(el: Column) -> Column:
+                return ok_of(self.compile(sub, (el, et, None), pth))
+            return pred
+
+        for i, sub in enumerate(prefix):
+            has = F.size(col) > i
+            ok = el_pred(sub, path + (i,))(F.try_element_at(col, F.lit(i + 1)))
+            checks.append(Check(_nn(is_arr & has & ~_nn(ok)), self._ptr(path + (i,)),
+                                "items", f"item {i} invalid"))
+        if tail is False:
+            checks.append(Check(_nn(is_arr & (F.size(col) > len(prefix))), p, "items",
+                                "extra items not allowed"))
+        elif tail not in (None, True):
+            start = len(prefix)
+            t_arr = F.slice(col, start + 1, F.greatest(F.size(col) - start, F.lit(0))) if start else col
+            checks.append(Check(_nn(is_arr & ~_nn(F.forall(t_arr, el_pred(tail, path)))),
+                                p, "items", "an item is invalid"))
+        if "contains" in node:
+            n = F.size(F.filter(col, el_pred(node["contains"], path)))
+            lo = int(node.get("minContains", 1)) if self.dialect != "draft7" else 1
+            hi = int(node["maxContains"]) if ("maxContains" in node and self.dialect != "draft7") else None
+            ok = n >= lo
+            if hi is not None:
+                ok = ok & (n <= hi)
+            checks.append(Check(_nn(is_arr & ~_nn(ok)), p, "contains", "contains count out of range"))
+        if "minItems" in node:
+            checks.append(Check(_nn(is_arr & (F.size(col) < int(node["minItems"]))), p,
+                                "minItems", f"fewer than {node['minItems']} items"))
+        if "maxItems" in node:
+            checks.append(Check(_nn(is_arr & (F.size(col) > int(node["maxItems"]))), p,
+                                "maxItems", f"more than {node['maxItems']} items"))
+        if node.get("uniqueItems") is True:
+            if isinstance(et, (T.ArrayType, T.StructType, T.MapType)):
+                canon = F.transform(col, F.to_json)
+            elif isinstance(et, _NUMERIC):
+                canon = F.transform(col, lambda x: x.cast(DEC).cast("string"))
+            else:
+                canon = col
+            checks.append(Check(_nn(is_arr & (F.size(F.array_distinct(canon)) != F.size(col))),
+                                p, "uniqueItems", "duplicate items"))
+        return checks

@@ -1,0 +1,219 @@
+"""SparkValidator — apply a compiled schema to DataFrames.
+
+``engine='auto'`` tries the Column-expression fast path
+(:mod:`json_schema_spark.plans.compiler`) and falls back to the
+Arrow-batched pandas-UDF kernel for schemas the expression compiler
+cannot express — the Spark analogue of the reference's single
+``Schema.apply`` entry point (``Schema.java:30-86``), with laziness
+supplied by the DataFrame plan instead of a cold reactive pipeline.
+
+The UDF fallback ships (schema-JSON, registry-docs-JSON, config) to
+executors and compiles the Python kernel **once per worker** via a
+module-level cache — compile-once / apply-many across Arrow batches.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterable, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..core.registry import SchemaRegistry
+from ..core.validator import CompileConfig, CompiledSchema, compile_schema
+from .compiler import (
+    Check,
+    ExprUnsupported,
+    TypedRowCompiler,
+    VariantCompiler,
+    ok_of,
+    violations_array,
+)
+
+__all__ = ["SparkValidator", "VIOLATION_SCHEMA"]
+
+VIOLATION_SCHEMA = "array<struct<path:string,keyword:string,message:string>>"
+_RESULT_SCHEMA = f"struct<valid:boolean,violations:{VIOLATION_SCHEMA}>"
+
+# executor-side kernel cache: one compile per (schema, config) per worker
+_KERNEL_CACHE: dict[tuple, CompiledSchema] = {}
+
+
+def _executor_kernel(key: tuple, schema_json: str, docs_json: str, dialect: str,
+                     fmt: bool, content_mode: str, collect: bool) -> CompiledSchema:
+    k = _KERNEL_CACHE.get(key)
+    if k is None:
+        reg = SchemaRegistry(default_dialect=dialect)
+        for uri, doc in json.loads(docs_json).items():
+            if not uri.startswith("urn:json-schema-spark:anon:"):
+                reg.add(doc, uri)
+        cfg = CompileConfig(dialect=dialect, format_assertions=fmt,
+                            content_mode=content_mode, collect_errors=collect)
+        k = compile_schema(json.loads(schema_json), registry=reg, config=cfg)
+        _KERNEL_CACHE[key] = k
+    return k
+
+
+class SparkValidator:
+    """Compile once on the driver; apply to any number of DataFrames.
+
+    Parameters mirror the reference's ``SchemaBuilder``
+    (``SchemaBuilder.java:356-388``): dialect default, format-assertion
+    switch, content mode, external schema registry.
+    """
+
+    def __init__(
+        self,
+        schema: Any,
+        dialect: Optional[str] = None,
+        format_assertions: bool = False,
+        content_mode: str = "default",
+        registry: Optional[SchemaRegistry] = None,
+        engine: str = "auto",  # auto | expr | udf
+    ):
+        if isinstance(schema, str):
+            schema = json.loads(schema)
+        self.schema = schema
+        self.engine = engine
+        self.config = CompileConfig(
+            dialect=dialect or "draft7",
+            format_assertions=format_assertions,
+            content_mode=content_mode,
+        )
+        self.registry = registry or SchemaRegistry(default_dialect=self.config.dialect)
+        self.root_uri = self.registry.add(schema)
+        self.dialect = self.registry.dialect_of_node(schema) if isinstance(schema, dict) else self.config.dialect
+        self.config.dialect = self.dialect
+        # driver-side kernel (differential oracle + local validation)
+        self.kernel = compile_schema(schema, registry=self.registry, config=self.config)
+        self._docs_json = json.dumps(
+            {u: d for u, d in self.registry.docs.items()}, default=float
+        )
+        self._schema_json = json.dumps(schema, default=float)
+
+    # ------------------------------------------------------ JSON mode
+
+    def _expr_checks_json(self, doc: Column) -> tuple[Column, list[Check]]:
+        comp = VariantCompiler(
+            self.registry,
+            dialect=self.dialect,
+            format_assertions=self.config.format_assertions,
+            content_asserts=False,
+        )
+        v = F.try_parse_json(doc)
+        checks = comp.compile(self.schema, v, ())
+        # unparseable document = invalid instance (Schema.apply parses first)
+        parse_fail = Check(doc.isNotNull() & v.isNull(), "", "$parse", "not parseable JSON")
+        return v, [parse_fail] + checks
+
+    def json_columns(self, doc: Column) -> tuple[Column, Column]:
+        """(valid, violations) Columns for a JSON-string doc column.
+
+        Raises ExprUnsupported when the schema needs the UDF kernel.
+        """
+        if self.engine == "udf":
+            raise ExprUnsupported("engine forced to udf")
+        _, checks = self._expr_checks_json(doc)
+        return ok_of(checks), violations_array(checks)
+
+    def _udf_result(self) -> "F.pandas_udf":
+        key = (self._schema_json, self._docs_json, self.dialect,
+               self.config.format_assertions, self.config.content_mode, True)
+        schema_json, docs_json, dialect = self._schema_json, self._docs_json, self.dialect
+        fmt, cmode = self.config.format_assertions, self.config.content_mode
+
+        @F.pandas_udf(_RESULT_SCHEMA)
+        def validate_batch(docs: pd.Series) -> pd.DataFrame:
+            kernel = _executor_kernel(key, schema_json, docs_json, dialect, fmt, cmode, True)
+            valids, viols = [], []
+            for doc in docs:
+                if doc is None:
+                    valids.append(None)
+                    viols.append(None)
+                    continue
+                ok, errs = kernel.validate_json(doc)
+                valids.append(ok)
+                viols.append([
+                    {"path": p, "keyword": kw, "message": m} for p, kw, m in errs
+                ])
+            return pd.DataFrame({"valid": valids, "violations": viols})
+
+        return validate_batch
+
+    def udf_valid(self) -> "F.pandas_udf":
+        """Boolean-only vectorized verdict UDF (fast mode — no error
+        materialization, mirrors the kernel's non-collecting path)."""
+        key = (self._schema_json, self._docs_json, self.dialect,
+               self.config.format_assertions, self.config.content_mode, False)
+        schema_json, docs_json, dialect = self._schema_json, self._docs_json, self.dialect
+        fmt, cmode = self.config.format_assertions, self.config.content_mode
+
+        @F.pandas_udf("boolean")
+        def valid_batch(docs: pd.Series) -> pd.Series:
+            kernel = _executor_kernel(key, schema_json, docs_json, dialect, fmt, cmode, False)
+            f = kernel.is_valid_json
+            return docs.map(lambda d: None if d is None else f(d))
+
+        return valid_batch
+
+    def apply_json(self, df: DataFrame, doc_col: str = "doc",
+                   with_violations: bool = True) -> DataFrame:
+        """Adds ``valid: boolean`` (and ``violations``) columns."""
+        doc = F.col(doc_col)
+        if self.engine in ("auto", "expr"):
+            try:
+                valid, viols = self.json_columns(doc)
+                out = df.withColumn("valid", valid)
+                if with_violations:
+                    out = out.withColumn("violations", viols)
+                return out
+            except ExprUnsupported:
+                if self.engine == "expr":
+                    raise
+        if with_violations:
+            res = self._udf_result()(doc)
+            return (df.withColumn("_res", res)
+                      .withColumn("valid", F.col("_res.valid"))
+                      .withColumn("violations", F.col("_res.violations"))
+                      .drop("_res"))
+        return df.withColumn("valid", self.udf_valid()(doc))
+
+    # ----------------------------------------------------- typed mode
+
+    def table_checks(self, df: DataFrame, columns: Optional[Iterable[str]] = None) -> list[Check]:
+        comp = TypedRowCompiler(
+            self.registry,
+            dialect=self.dialect,
+            format_assertions=self.config.format_assertions,
+        )
+        names = list(columns) if columns is not None else df.columns
+        dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
+        fields = {n: (F.col(n), dtypes[n]) for n in names}
+        return comp.compile(self.schema, (None, None, fields), ())
+
+    def apply_table(self, df: DataFrame, columns: Optional[Iterable[str]] = None,
+                    with_violations: bool = True) -> DataFrame:
+        """Validate typed rows (one row = one document; columns =
+        top-level properties). Pure Column expressions — this is the
+        flagship 100 TB path."""
+        checks = self.table_checks(df, columns)
+        out = df.withColumn("valid", ok_of(checks))
+        if with_violations:
+            out = out.withColumn("violations", violations_array(checks))
+        return out
+
+    # ------------------------------------------------------- results
+
+    @staticmethod
+    def violations_df(validated: DataFrame, id_cols: Iterable[str] = ()) -> DataFrame:
+        """Explode per-row violations into a violations DataFrame
+        (result-tree sink analogue — ValidationResultFactory.java:240-262)."""
+        cols = [F.col(c) for c in id_cols]
+        return (
+            validated.filter(~F.col("valid"))
+            .select(*cols, F.explode("violations").alias("v"))
+            .select(*cols, F.col("v.path").alias("json_path"),
+                    F.col("v.keyword").alias("keyword"),
+                    F.col("v.message").alias("message"))
+        )
