@@ -1,0 +1,43 @@
+"""Flagship workload: draft-07 validation of the source-code table.
+
+The representative schema from FIXTURES.md §1 applied row-wise over
+``(repo, path, commit, lang, content)`` via the typed-row Column plan —
+whole-stage-codegen'd boolean expressions, zero Python on executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .plans.runner import SparkValidator
+
+__all__ = ["FLAGSHIP_SCHEMA", "flagship_validator", "validate_source_table"]
+
+FLAGSHIP_SCHEMA = {
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "type": "object",
+    "required": ["repo", "path", "commit", "lang", "content"],
+    "properties": {
+        "repo": {"type": "string", "pattern": "^[A-Za-z0-9_.-]+/[A-Za-z0-9_.-]+$"},
+        "path": {"type": "string", "minLength": 1, "maxLength": 512},
+        "commit": {"type": "string", "pattern": "^[0-9a-f]{40}$"},
+        "lang": {"enum": ["python", "java", "scala", "sql", "markdown", "json", "yaml", "other"]},
+        "content": {"type": "string"},
+    },
+}
+
+
+def flagship_validator() -> SparkValidator:
+    return SparkValidator(FLAGSHIP_SCHEMA, dialect="draft7")
+
+
+def validate_source_table(df: DataFrame, with_violations: bool = True,
+                          with_sha: bool = True) -> DataFrame:
+    """Adds ``valid``, ``violations`` and the cross-engine per-row
+    invariant ``content_sha256`` (input_hint: sha256(content) equality
+    vs the reference)."""
+    cols = ["repo", "path", "commit", "lang", "content"]
+    out = flagship_validator().apply_table(df, columns=cols, with_violations=with_violations)
+    if with_sha:
+        out = out.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    return out

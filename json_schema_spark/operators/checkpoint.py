@@ -1,0 +1,98 @@
+"""Resumable validation runs: bucket manifest + idempotent restart.
+
+north_rule: "resumable from checkpoint with per-partition lineage +
+metrics". The unit of resume is a deterministic hash bucket of a stable
+row key (survives repartitioning, unlike ``spark_partition_id``). Each
+completed bucket appends its verdict rows and one manifest row
+(bucket id, rows, violations, sha256 digest, wall-clock). On restart,
+completed buckets are skipped by manifest lookup; digests let the test
+suite assert no bucket is processed twice and re-runs are byte-stable.
+
+On a real cluster the same layout maps 1:1 onto an Iceberg table where
+the manifest is the snapshot log; parquet directories keep the sandbox
+dependency-free.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["ResumableRun"]
+
+
+class ResumableRun:
+    def __init__(self, run_dir: str, n_buckets: int = 32, key_col: str = "row_id"):
+        self.run_dir = run_dir
+        self.n_buckets = n_buckets
+        self.key_col = key_col
+        self.manifest_dir = os.path.join(run_dir, "manifest")
+        self.out_dir = os.path.join(run_dir, "verdicts")
+
+    def bucket_of(self) -> F.Column:
+        return F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets)).cast("int")
+
+    def completed_buckets(self, spark: SparkSession) -> set[int]:
+        try:
+            rows = spark.read.parquet(self.manifest_dir).select("bucket").distinct().collect()
+        except Exception:
+            return set()
+        return {r["bucket"] for r in rows}
+
+    def run(
+        self,
+        df: DataFrame,
+        validate: Callable[[DataFrame], DataFrame],
+        max_buckets: Optional[int] = None,
+    ) -> list[int]:
+        """Process incomplete buckets (optionally at most ``max_buckets``
+        — used by tests to simulate a crash). Returns buckets processed.
+
+        Each bucket is one narrow filtered pass; at cluster scale the
+        bucket column prunes Iceberg partitions so a resume touches only
+        unprocessed data.
+        """
+        spark = df.sparkSession
+        done = self.completed_buckets(spark)
+        todo = [b for b in range(self.n_buckets) if b not in done]
+        if max_buckets is not None:
+            todo = todo[:max_buckets]
+        processed = []
+        src = df.withColumn("__bucket", self.bucket_of())
+        for b in todo:
+            t0 = time.perf_counter()
+            part = src.filter(F.col("__bucket") == b).drop("__bucket")
+            validated = validate(part)
+            out = validated.withColumn("__bucket", F.lit(b))
+            out.write.mode("append").parquet(self.out_dir)
+            stats = (
+                spark.read.parquet(self.out_dir)
+                .filter(F.col("__bucket") == b)
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum((~F.col("valid")).cast("long")).alias("violation_rows"),
+                    F.coalesce(
+                        F.expr("conv(cast(bit_xor(xxhash64(cast(" + self.key_col +
+                               " as string), cast(valid as string))) as string), 10, 16)"),
+                        F.lit("0"),
+                    ).alias("digest_xor64"),
+                )
+                .collect()[0]
+            )
+            manifest = spark.createDataFrame(
+                [(b, stats["rows"], stats["violation_rows"], stats["digest_xor64"],
+                  (time.perf_counter() - t0) * 1000.0)],
+                "bucket int, rows long, violation_rows long, digest_xor64 string, elapsed_ms double",
+            )
+            manifest.write.mode("append").parquet(self.manifest_dir)
+            processed.append(b)
+        return processed
+
+    def manifest(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.manifest_dir)
+
+    def results(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.out_dir)

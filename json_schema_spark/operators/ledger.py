@@ -1,0 +1,103 @@
+"""Per-partition pass/fail + metrics ledger (north_rule).
+
+One output row per Spark input partition: rows scanned, violation
+count, elapsed ms, and a sha256 digest of the partition's sorted
+violation set — the distributed analogue of the reference's result-tree
+sink (``results/ValidationResultFactory.java:240-262``), emitted in a
+single narrow pass (``mapInPandas``: no shuffle, no driver collect).
+
+Digest determinism: violations are digested as sorted
+``row_key|path|keyword`` lines within each partition, so re-running the
+same input with the same partitioning yields byte-identical ledger rows
+(checkpoint/resume verification relies on this). A global
+order-insensitive digest is also provided via :func:`global_digest`
+(bit-XOR of per-row hashes — partitioning-independent).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["partition_ledger", "global_digest"]
+
+LEDGER_SCHEMA = (
+    "partition_id int, rows_scanned long, valid_rows long, violation_rows long, "
+    "violations long, elapsed_ms double, violations_sha256 string"
+)
+
+
+def partition_ledger(validated: DataFrame, key_col: str = "row_id") -> DataFrame:
+    """``validated`` must carry ``valid: boolean`` and ``violations:
+    array<struct<path,keyword,message>>`` (from SparkValidator) plus a
+    stable per-row key column."""
+
+    slim = validated.select(
+        F.spark_partition_id().alias("pid"),
+        F.col(key_col).cast("string").alias("k"),
+        F.col("valid"),
+        F.coalesce(
+            F.transform(F.col("violations"), lambda v: F.concat_ws("|", v["path"], v["keyword"])),
+            F.array(),
+        ).alias("vkeys"),
+    )
+
+    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t0 = time.perf_counter()
+        pid = None
+        rows = valid_rows = viol_rows = viols = 0
+        lines: list[str] = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["pid"].iloc[0])
+            rows += len(pdf)
+            v = pdf["valid"].fillna(False)
+            valid_rows += int(v.sum())
+            viol_rows += int((~v).sum())
+            for k, vk in zip(pdf["k"], pdf["vkeys"]):
+                if vk is not None and len(vk):
+                    viols += len(vk)
+                    lines.extend(f"{k}|{x}" for x in vk)
+        if pid is None:
+            return
+        lines.sort()
+        digest = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+        yield pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "rows_scanned": [rows],
+                "valid_rows": [valid_rows],
+                "violation_rows": [viol_rows],
+                "violations": [viols],
+                "elapsed_ms": [(time.perf_counter() - t0) * 1000.0],
+                "violations_sha256": [digest],
+            }
+        )
+
+    return slim.mapInPandas(per_partition, schema=LEDGER_SCHEMA)
+
+
+def global_digest(validated: DataFrame, key_col: str = "row_id") -> DataFrame:
+    """Order-insensitive global violation digest: XOR of per-violation
+    64-bit hashes + total count. Partitioning-independent, single
+    aggregation, no sort at scale."""
+    v = validated.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.explode_outer("violations").alias("viol"),
+    ).select(
+        F.when(
+            F.col("viol").isNotNull(),
+            F.xxhash64(F.concat_ws("|", F.col("k"), F.col("viol.path"), F.col("viol.keyword"))),
+        ).alias("h")
+    )
+    return v.agg(
+        F.count("h").alias("violation_count"),
+        F.coalesce(
+            F.expr("conv(cast(bit_xor(h) as string), 10, 16)"), F.lit("0")
+        ).alias("violations_xor64"),
+    )
