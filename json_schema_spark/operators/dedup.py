@@ -1,0 +1,301 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side Column expressions (shingling, MinHash,
+banding, Jaccard verification); SimHash uses a vectorized pandas UDF
+(numpy bit packing). Pair generation is always LSH-band-bounded — no
+quadratic self-join at scale; the exact-verify step runs only on
+band-collision candidates.
+
+* exact: sha256(normalized text) groupBy           — O(n) one shuffle
+* MinHash + LSH: shingle → k-permutation signature → banded buckets →
+  candidate pairs → exact Jaccard verify
+* SimHash: 64-bit weighted-token signature; near-dup = Hamming ≤ r via
+  chunk banding
+* n-gram Jaccard: inverted-index join (explode shingles), exact
+* embedding near-dup: random-hyperplane LSH buckets → cosine verify
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "normalize_text",
+    "exact_duplicates",
+    "char_shingles",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_pairs",
+    "embedding_neardup_pairs",
+    "dedup_keep_first",
+]
+
+
+def normalize_text(col) -> F.Column:
+    """Lowercase + collapse whitespace — canonical form for exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: one row per
+    duplicate group with the canonical (min) id and the group members."""
+    h = F.sha2(normalize_text(F.col(text_col)), 256).alias("content_hash")
+    return (
+        df.select(F.col(id_col).alias("id"), h)
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("id").alias("canonical_id"),
+            F.sort_array(F.collect_list("id")).alias("member_ids"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the min-id row per normalized-content hash.
+    Two-phase (map-side combine) aggregation, then a semi-join back —
+    no wide row shuffle of full documents."""
+    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    keep = (
+        df.select(F.col(id_col), h.alias("__h"))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ------------------------------------------------------------- MinHash/LSH
+
+def char_shingles(col, n: int = 5) -> F.Column:
+    """Distinct character n-grams of the normalized text (JVM-side)."""
+    s = normalize_text(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, n)))
+
+
+def minhash_signature(shingles: F.Column, num_hashes: int = 64, seed: int = 42) -> F.Column:
+    """k-min-hash signature: element i = min over shingles of
+    xxhash64(shingle, seed, i) — pure expressions, whole-stage codegen."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda sh: F.xxhash64(sh, F.lit(seed), i))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Plan shape (scale-critical): signature+bands computed in one narrow
+    pass; ``explode`` to (band, band_hash) buckets; bucket self-join only
+    within identical buckets (LSH bounds candidates); exact Jaccard on
+    shingle sets verifies. Rows per bucket are bounded by hash width;
+    mega-cluster buckets degrade gracefully under AQE skew handling.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        char_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+    banded = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"))),
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    word_grams: bool = True,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via inverted-index join:
+    explode shingles → co-occurrence counts → |A∩B| / (|A|+|B|−|A∩B|).
+    Exact but O(Σ posting-list²) — use the MinHash variant at scale;
+    this is the small-side oracle."""
+    if word_grams:
+        toks = F.split(normalize_text(F.col(text_col)), " ")
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (shingle_n - 1), F.lit(1)))
+        sh = F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_n)))
+        )
+    else:
+        sh = char_shingles(F.col(text_col), shingle_n)
+    base = df.select(F.col(id_col).alias("id"), sh.alias("sh")).withColumn(
+        "n_sh", F.size("sh")
+    )
+    posting = base.select("id", "n_sh", F.explode("sh").alias("g"))
+    a, b = posting.alias("a"), posting.alias("b")
+    co = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return co.select(
+        "id_a",
+        "id_b",
+        (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# ----------------------------------------------------------------- SimHash
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash via a vectorized pandas UDF (numpy): tokens hashed
+    with a splitmix-style mix; bit b of the signature = sign of the
+    summed ±1 votes. Arrow-batched — no per-row Python round trips."""
+    assert bits == 64
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            toks = t.lower().split()
+            if not toks:
+                continue
+            hs = np.empty(len(toks), dtype=np.uint64)
+            for j, tok in enumerate(toks):
+                # FNV-1a: deterministic across processes (unlike hash())
+                x = np.uint64(14695981039346656037)
+                for ch in tok.encode():
+                    x = (x ^ np.uint64(ch)) * np.uint64(1099511628211) & mask
+                hs[j] = x
+            bits_m = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+            votes = (2 * bits_m - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in range(64):
+                if votes[b] > 0:
+                    sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ r: band the 64-bit signature
+    into r+1 16-bit chunks (pigeonhole: one chunk must match exactly),
+    bucket-join on matching chunks, verify with bit_count(xor)."""
+    chunks = 4  # 64 / 16; guarantees recall for max_hamming <= 3
+    banded = sig_df.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftrightunsigned("simhash", c * 16)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.chunk").alias("chunk"), F.col("b.ck").alias("ck"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.ck") == F.col("b.ck"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------- embedding near-dup
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-duplicates via random-hyperplane LSH: sign-bit
+    sketch buckets candidates (vectors with cosine ≥ τ rarely differ in
+    sign pattern), exact cosine verifies. Hyperplanes are deterministic
+    xxhash64-derived pseudo-gaussians — no driver-side randomness."""
+    dim_df = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = dim_df[0]["d"]
+
+    def plane(p: int) -> F.Column:
+        return F.array(*[
+            ((F.xxhash64(F.lit(seed), F.lit(p), F.lit(j)) % 1000).cast("double") / 1000.0)
+            for j in range(dim)
+        ])
+
+    def dot(a, b) -> F.Column:
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    sketch = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.concat_ws("", *[
+            F.when(dot(F.col(vec_col), plane(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in range(planes)
+        ]).alias("bucket"),
+    )
+    a, b = sketch.alias("a"), sketch.alias("b")
+    norm = lambda c: F.sqrt(dot(c, c))
+    cos = dot(F.col("a.v"), F.col("b.v")) / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,213 @@
+"""Training-data pipeline operators: dedup, similarity, text,
+multimodal — known-answer tests on sf0.001 testdata + constructed
+fixtures."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_duplicates,
+    dedup_keep_first,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from json_schema_spark.operators.multimodal import (
+    frame_sample,
+    image_features,
+    synth_binary_column,
+)
+from json_schema_spark.operators.similarity import brute_force_topk, build_ivf, ivf_topk
+from json_schema_spark.operators.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+# ------------------------------------------------------------------ dedup
+
+def test_exact_duplicates(spark, docs):
+    dup = docs.limit(3).select((F.col("doc_id") + 100000).alias("doc_id"),
+                               "text", "lang", "source", "n_chars")
+    with_dups = docs.unionByName(dup)
+    groups = exact_duplicates(with_dups).collect()
+    planted = [g for g in groups if g["group_size"] == 2 and g["canonical_id"] < 100000
+               and g["member_ids"][1] == g["canonical_id"] + 100000]
+    assert len(planted) == 3
+    kept = dedup_keep_first(with_dups)
+    assert kept.count() == with_dups.count() - len(groups)
+    assert kept.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    # near-duplicate: copy first 5 docs with a tiny suffix edit
+    near = docs.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" xyzzy")).alias("text"),
+    )
+    pool = docs.select("doc_id", "text").unionByName(near)
+    pairs = minhash_lsh_pairs(pool, threshold=0.8).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    for i in range(5):
+        expected = tuple(sorted([i, i + 100000]))
+        assert expected in found, f"missing near-dup pair {expected}"
+    for p in pairs:
+        assert p["jaccard"] >= 0.8
+
+
+def test_ngram_jaccard_exact(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(df, shingle_n=3, threshold=0.1).collect()}
+    # doc1 vs doc2: 7 word-3-grams each, 6 shared → J = 6/8
+    assert (1, 2) in pairs
+    assert abs(pairs[(1, 2)] - 6 / 8) < 1e-9
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_pairs(spark, docs):
+    clones = docs.limit(4).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    pool = docs.select("doc_id", "text").unionByName(clones)
+    sigs = simhash(pool)
+    # identical docs → identical simhash → hamming 0
+    pairs = {(p["id_a"], p["id_b"]): p["hamming"] for p in simhash_pairs(sigs, 3).collect()}
+    for i in range(4):
+        assert pairs.get((i, i + 100000)) == 0
+    # deterministic across invocations
+    s1 = {r["id"]: r["simhash"] for r in sigs.collect()}
+    s2 = {r["id"]: r["simhash"] for r in simhash(pool).collect()}
+    assert s1 == s2
+
+
+def test_embedding_neardup(spark, emb):
+    near = emb.limit(3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    pool = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")) \
+        .unionByName(near.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")))
+    pairs = {(p["id_a"], p["id_b"]) for p in
+             embedding_neardup_pairs(pool, threshold=0.999).collect()}
+    for i in range(3):
+        assert (i, i + 100000) in pairs
+
+
+# -------------------------------------------------------------- similarity
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    queries = emb.limit(8)
+    got = brute_force_topk(emb, queries, k=5).collect()
+    E = np.array(emb.orderBy("vec_id").select("embedding").toPandas()["embedding"].tolist())
+    ids = emb.orderBy("vec_id").select("vec_id").toPandas()["vec_id"].to_numpy()
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["item_id"], r["cosine"]))
+    for qid, rows in by_q.items():
+        qv = En[np.where(ids == qid)[0][0]]
+        sims = En @ qv
+        order = np.lexsort((ids, -sims))[:5]
+        expect = [int(ids[i]) for i in order]
+        rows.sort()
+        assert [r[1] for r in rows] == expect, f"query {qid}"
+        assert rows[0][1] == qid  # self-match first
+        np.testing.assert_allclose(rows[0][2], 1.0, atol=1e-9)
+
+
+def test_ivf_recall(spark, emb):
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    assigned, cents = build_ivf(corpus, n_centroids=8)
+    queries = corpus.limit(10)
+    exact = brute_force_topk(corpus, queries, k=10).collect()
+    approx = ivf_topk(assigned, cents, queries, k=10, n_probe=3).collect()
+    e_by_q, a_by_q = {}, {}
+    for r in exact:
+        e_by_q.setdefault(r["query_id"], set()).add(r["item_id"])
+    for r in approx:
+        a_by_q.setdefault(r["query_id"], set()).add(r["item_id"])
+    recalls = [len(e_by_q[q] & a_by_q.get(q, set())) / 10 for q in e_by_q]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    for q in a_by_q:  # self-match must survive probing
+        assert q in a_by_q[q]
+
+
+# -------------------------------------------------------------------- text
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world  foo"), (2, ""), (3, "internationalization, yes!")],
+        ["id", "text"],
+    )
+    got = {r["id"]: (r["wc"], r["bc"]) for r in df.select(
+        "id", token_count(F.col("text")).alias("wc"),
+        bpe_ish_token_count(F.col("text")).alias("bc")).collect()}
+    assert got[1][0] == 3
+    assert got[2][0] == 0
+    # "internationalization" (20 chars → 5 units) + "," + "yes" (1) + "!" = 8
+    assert got[3][1] == 8
+
+
+def test_quality_and_langid(spark):
+    rows = [
+        (1, "The cat sat on the mat and it was a good day for the cats."),
+        (2, "xx yy zz 11 22 33 !!! ??? ### $$$ %%%"),
+        (3, "der Hund ist nicht auf der Straße und das ist gut für die Katze"),
+        (4, "el perro es grande y no es una casa con los gatos por la noche"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    q = {r["id"]: r["quality_score"] for r in quality_score(df).collect()}
+    assert q[1] > q[2]
+    l = {r["id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert l[1] == "en" and l[3] == "de" and l[4] == "es"
+
+
+def test_fingerprint(spark, docs):
+    fp = fingerprint(docs.limit(20))
+    rows = fp.collect()
+    assert len({r["fp_sha256"] for r in rows}) == 20  # all distinct docs
+    # normalization-invariance: case/whitespace changes keep both fingerprints
+    df = docs.limit(5).select("doc_id", F.upper(F.col("text")).alias("text"))
+    fp2 = {r["doc_id"]: r for r in fingerprint(df).collect()}
+    fp1 = {r["doc_id"]: r for r in rows if r["doc_id"] < 5}
+    for i in fp1:
+        assert fp1[i]["fp_sha256"] == fp2[i]["fp_sha256"]
+        assert fp1[i]["fp_rolling64"] == fp2[i]["fp_rolling64"]
+
+
+# -------------------------------------------------------------- multimodal
+
+def test_multimodal_plumbing(spark):
+    base = spark.range(0, 50).select(F.col("id").alias("row_id"))
+    imgs = synth_binary_column(base)
+    feats = image_features(imgs, decode="fake").collect()
+    assert len(feats) == 50
+    assert all(r["width"] == 32 and r["n_bytes"] > 0 for r in feats)
+    f2 = {r["id"]: r["phash"] for r in image_features(imgs, decode="fake").collect()}
+    assert all(f2[r["id"]] == r["phash"] for r in feats)  # deterministic
+    frames = frame_sample(imgs, every_n=10)
+    assert frames.count() > 0
+    with pytest.raises(Exception):  # real decode is a declared stub
+        image_features(imgs, decode="real").collect()
