@@ -1,38 +1,490 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship draft-07 validation over the sf0.001
+``documents`` table (typed-row Column-expression path, zero Python on
+executors) plus the per-row sha256 invariant column (input_hint).
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2 / §2.9 and the training-data pipeline ops; each Spark
+query is paired with an ANSI-SQL DuckDB oracle where the semantics are
+SQL-expressible (all value-bearing columns aliased identically on both
+sides, floats rounded to 6 decimals, counts cast to bigint).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from json_schema_spark.plans.runner import SparkValidator
+from json_schema_spark.operators import checks as C
+from json_schema_spark.operators import dedup as D
+from json_schema_spark.operators import drift as R
+from json_schema_spark.operators import similarity as S
+from json_schema_spark.operators import text as T
+
+# --------------------------------------------------------------- schemas
+
+# Typed-row draft-07 schema over the documents table (SURVEY §2.2/§2.3:
+# type, required, minimum/maximum, minLength, enum, pattern — compiled
+# once on the driver to whole-stage-codegen'd Column expressions).
+DOCS_SCHEMA = {
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "type": "object",
+    "required": ["doc_id", "text", "lang", "source", "n_chars"],
+    "properties": {
+        "doc_id": {"type": "integer", "minimum": 0},
+        "text": {"type": "string", "minLength": 60},
+        "lang": {"enum": ["en", "de", "es", "fr"]},
+        "source": {"type": "string", "pattern": "^src1?[0-9]$"},
+        "n_chars": {"type": "integer", "maximum": 400},
+    },
+}
+DOCS_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+DOCS_VALID_SQL = (
+    "(doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL "
+    "AND source IS NOT NULL AND n_chars IS NOT NULL "
+    "AND doc_id >= 0 AND length(text) >= 60 "
+    "AND lang IN ('en','de','es','fr') "
+    "AND regexp_matches(source, '^src1?[0-9]$') AND n_chars <= 400)"
+)
+
+# JSON-string-mode schema over events.props (variant expression path).
+PROPS_SCHEMA = {
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50}},
+}
+
+# Conditional combinator schema (if/then/else + multipleOf, SURVEY §2.5).
+COND_SCHEMA = {
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer"}},
+    "if": {"properties": {"k": {"minimum": 50}}},
+    "then": {"properties": {"k": {"multipleOf": 2}}},
+    "else": {"properties": {"k": {"multipleOf": 3}}},
+}
+
+_LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+]
+
+_EN_SW = T.STOPWORDS["en"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- queries
+
+
+def _q_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    v = SparkValidator(DOCS_SCHEMA, dialect="draft7")
+    return v.apply_table(df, columns=DOCS_COLS, with_violations=False).select("doc_id", "valid")
+
+
+def _q_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    v = SparkValidator(DOCS_SCHEMA, dialect="draft7")
+    out = v.apply_table(df, columns=DOCS_COLS)
+    return (
+        SparkValidator.violations_df(out, ["doc_id"])
+        .groupBy("keyword", "json_path")
+        .agg(F.count(F.lit(1)).alias("viol_count"))
+    )
+
+
+def _q_validate_documents_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same schema through the Arrow-batched pandas-UDF kernel over a
+    JSON-serialized doc — differential check of the two engines against
+    one oracle."""
+    df = _t(spark, sf_dir, "documents").withColumn(
+        "doc", F.to_json(F.struct(*DOCS_COLS))
+    )
+    v = SparkValidator(DOCS_SCHEMA, dialect="draft7", engine="udf")
+    return v.apply_json(df, "doc", with_violations=False).select("doc_id", "valid")
+
+
+def _q_validate_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    v = SparkValidator(PROPS_SCHEMA, dialect="draft7")
+    return v.apply_json(df, "props", with_violations=False).select("event_id", "valid")
+
+
+def _q_validate_events_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    v = SparkValidator(COND_SCHEMA, dialect="draft7")
+    return v.apply_json(df, "props", with_violations=False).select("event_id", "valid")
+
+
+def _q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.column_stats(_t(spark, sf_dir, "lineitem"), exact_distinct=True)
+
+
+def _q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.length_histogram(_t(spark, sf_dir, "documents"), "text", bucket_width=64)
+
+
+def _q_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.duplicate_keys(_t(spark, sf_dir, "events"), ["user_id", "event_type"])
+
+
+def _q_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.uniqueness_report(_t(spark, sf_dir, "orders"), ["o_orderkey"])
+
+
+def _q_ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("okey"))
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("okey"))
+    return C.referential_report(li, orders, ["okey"], broadcast_parent=True)
+
+
+def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("c_custkey"))
+    return C.orphans(cust, ev, ["c_custkey"], broadcast_parent=True)
+
+
+def _q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cur = ev.filter(F.col("event_type") == "click")
+    base = ev.filter(F.col("event_type") == "view")
+    return R.psi(cur, base, "value", lo=0.0, hi=500.0, buckets=20).select(
+        F.round("psi", 6).alias("psi")
+    )
+
+
+def _q_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cur = o.filter(F.col("o_orderkey") % 2 == 0)
+    base = o.filter(F.col("o_orderkey") % 2 == 1)
+    return R.ks_bucketed(cur, base, "o_totalprice", lo=0.0, hi=600000.0, buckets=100).select(
+        F.round("ks", 6).alias("ks")
+    )
+
+
+def _q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_keep_first(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.7, word_grams=True
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=5, num_hashes=64, bands=16,
+        threshold=0.7,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_t(spark, sf_dir, "documents"))
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    out = S.brute_force_topk(emb, q, k=5)
+    return out.select("query_id", "item_id", "rank", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    assigned, cents = S.build_ivf(emb, n_centroids=8)
+    out = S.ivf_topk(assigned, cents, q, k=5, n_probe=4)
+    return out.select("query_id", "item_id", "rank", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feat = T.quality_features(_t(spark, sf_dir, "documents"))
+    return feat.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        T.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("upper_ratio", 6).alias("upper_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fp_sha256")
+
+
+def _q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc)).cast("double"), 2)
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+    )
+
+
+# ---------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: typed-row draft-07 validation of sf0.001 documents —
+    verdict + violations + the per-row sha256 invariant (input_hint)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    v = SparkValidator(DOCS_SCHEMA, dialect="draft7")
+    out = v.apply_table(df, columns=DOCS_COLS)
+    return out.select(
+        "doc_id", "valid", "violations", F.sha2(F.col("text"), 256).alias("text_sha256")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "validate_documents": _q_validate_documents,
+        "validation_violation_summary": _q_violation_summary,
+        "validate_documents_kernel": _q_validate_documents_kernel,
+        "validate_events_json": _q_validate_events_json,
+        "validate_events_conditional": _q_validate_events_conditional,
+        "column_stats_lineitem": _q_column_stats,
+        "length_histogram_documents": _q_length_histogram,
+        "duplicate_keys_events": _q_duplicate_keys,
+        "uniqueness_orders": _q_uniqueness,
+        "referential_orphans_lineitem": _q_ri_orphans,
+        "anti_join_customers_without_events": _q_anti_join,
+        "psi_events_click_vs_view": _q_psi,
+        "ks_orders_totalprice": _q_ks,
+        "dedup_keep_first_documents": _q_dedup_keep_first,
+        "ngram_jaccard_documents": _q_ngram_jaccard,
+        "minhash_neardup_documents": _q_minhash_neardup,
+        "simhash_documents": _q_simhash,
+        "ann_topk_embeddings": _q_ann_topk,
+        "ivf_topk_embeddings": _q_ivf_topk,
+        "text_stats_documents": _q_text_stats,
+        "fingerprint_documents": _q_fingerprint,
+        "agg_pricing_summary": _q_agg_pricing,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    stats_parts = " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", count(*)::bigint AS row_count, "
+        f"(count(*) - count({c}))::bigint AS null_count, "
+        f"(count(*) - count({c})) / count(*) AS null_rate, "
+        f"count(DISTINCT {c})::bigint AS distinct_count FROM lineitem"
+        for c in _LINEITEM_COLS
+    )
+    sw_list = ", ".join(f"'{w}'" for w in _EN_SW)
+    return {
+        "validate_documents": f"SELECT doc_id, {DOCS_VALID_SQL} AS valid FROM documents",
+        "validation_violation_summary": f"""
+            SELECT * FROM (
+              SELECT 'minLength' AS keyword, '/text' AS json_path, count(*)::bigint AS viol_count
+                FROM documents WHERE text IS NOT NULL AND length(text) < 60
+              UNION ALL
+              SELECT 'enum', '/lang', count(*)::bigint FROM documents
+                WHERE lang IS NOT NULL AND lang NOT IN ('en','de','es','fr')
+              UNION ALL
+              SELECT 'maximum', '/n_chars', count(*)::bigint FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 400
+              UNION ALL
+              SELECT 'pattern', '/source', count(*)::bigint FROM documents
+                WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src1?[0-9]$')
+              UNION ALL
+              SELECT 'minimum', '/doc_id', count(*)::bigint FROM documents
+                WHERE doc_id IS NOT NULL AND doc_id < 0
+            ) WHERE viol_count > 0
+        """,
+        "validate_documents_kernel": f"SELECT doc_id, {DOCS_VALID_SQL} AS valid FROM documents",
+        "validate_events_json": (
+            "SELECT event_id, ((props::JSON->>'k')::bigint BETWEEN 0 AND 50) AS valid FROM events"
+        ),
+        "validate_events_conditional": """
+            SELECT event_id,
+                   CASE WHEN k >= 50 THEN k % 2 = 0 ELSE k % 3 = 0 END AS valid
+            FROM (SELECT event_id, (props::JSON->>'k')::bigint AS k FROM events)
+        """,
+        "column_stats_lineitem": stats_parts,
+        "length_histogram_documents": """
+            SELECT floor(length(text) / 64.0)::bigint AS bucket,
+                   floor(length(text) / 64.0)::bigint * 64 AS lo,
+                   (floor(length(text) / 64.0)::bigint + 1) * 64 AS hi,
+                   count(*)::bigint AS cnt
+            FROM documents WHERE text IS NOT NULL
+            GROUP BY 1, 2, 3
+        """,
+        "duplicate_keys_events": """
+            SELECT user_id, event_type, count(*)::bigint AS dup_count
+            FROM events GROUP BY 1, 2 HAVING count(*) > 1
+        """,
+        "uniqueness_orders": """
+            SELECT (SELECT count(*) FROM orders)::bigint AS row_count,
+                   (SELECT count(DISTINCT o_orderkey) FROM orders)::bigint AS distinct_keys,
+                   (SELECT count(*) FROM (
+                      SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1))::bigint
+                     AS duplicate_keys,
+                   (SELECT coalesce(sum(c), 0) FROM (
+                      SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+                      HAVING count(*) > 1))::bigint AS duplicated_rows
+        """,
+        "referential_orphans_lineitem": """
+            SELECT l_orderkey AS okey, count(*)::bigint AS orphan_rows
+            FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+            GROUP BY 1
+        """,
+        "anti_join_customers_without_events": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        """,
+        "psi_events_click_vs_view": """
+            WITH ch AS (
+              SELECT CASE WHEN value < 0 THEN 0 WHEN value >= 500 THEN 21
+                          ELSE (floor((value - 0) / 25.0) + 1)::int END AS bucket,
+                     count(*)::bigint AS cnt
+              FROM events WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1
+            ), bh AS (
+              SELECT CASE WHEN value < 0 THEN 0 WHEN value >= 500 THEN 21
+                          ELSE (floor((value - 0) / 25.0) + 1)::int END AS bucket,
+                     count(*)::bigint AS cnt
+              FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1
+            ), cp AS (SELECT bucket, cnt / (SELECT sum(cnt) FROM ch) AS p FROM ch),
+               bq AS (SELECT bucket, cnt / (SELECT sum(cnt) FROM bh) AS q FROM bh),
+               j AS (SELECT coalesce(p, 0) + 1e-6 AS p, coalesce(q, 0) + 1e-6 AS q
+                     FROM cp FULL OUTER JOIN bq USING (bucket))
+            SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM j
+        """,
+        "ks_orders_totalprice": """
+            WITH ch AS (
+              SELECT CASE WHEN o_totalprice < 0 THEN 0 WHEN o_totalprice >= 600000 THEN 101
+                          ELSE (floor(o_totalprice / 6000.0) + 1)::int END AS bucket,
+                     count(*)::bigint AS c_cur
+              FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL GROUP BY 1
+            ), bh AS (
+              SELECT CASE WHEN o_totalprice < 0 THEN 0 WHEN o_totalprice >= 600000 THEN 101
+                          ELSE (floor(o_totalprice / 6000.0) + 1)::int END AS bucket,
+                     count(*)::bigint AS c_base
+              FROM orders WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL GROUP BY 1
+            ), j AS (
+              SELECT bucket, coalesce(c_cur, 0) AS c_cur, coalesce(c_base, 0) AS c_base
+              FROM ch FULL OUTER JOIN bh USING (bucket)
+            ), cdf AS (
+              SELECT sum(c_cur) OVER (ORDER BY bucket) AS cum_cur,
+                     sum(c_base) OVER (ORDER BY bucket) AS cum_base FROM j
+            )
+            SELECT round(max(abs(cum_cur / (SELECT sum(c_cur) FROM j)
+                               - cum_base / (SELECT sum(c_base) FROM j))), 6) AS ks
+            FROM cdf
+        """,
+        "dedup_keep_first_documents": f"""
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY sha256({norm})
+        """,
+        "ngram_jaccard_documents": f"""
+            WITH d AS (
+              SELECT doc_id, string_split({norm}, ' ') AS words FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(words) - 2, 1) + 1),
+                       i -> array_to_string(words[i:i+2], ' '))) AS sh
+              FROM d
+            ), p AS (SELECT doc_id AS id, unnest(sh) AS gr, len(sh) AS n FROM g),
+               co AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb,
+                     count(*)::bigint AS inter
+              FROM p a JOIN p b ON a.gr = b.gr AND a.id < b.id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard
+            FROM co WHERE inter / (na + nb - inter) >= 0.7
+        """,
+        "ann_topk_embeddings": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 10),
+                 c AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS cv FROM embeddings),
+                 s AS (SELECT query_id, item_id,
+                              list_dot_product(qv, cv)
+                              / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                                AS cos
+                       FROM q CROSS JOIN c),
+                 r AS (SELECT query_id, item_id, cos,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY cos DESC, item_id ASC) AS rnk
+                       FROM s)
+            SELECT query_id, item_id, rnk::int AS rank, round(cos, 6) AS cosine
+            FROM r WHERE rnk <= 5
+        """,
+        "text_stats_documents": f"""
+            WITH d AS (
+              SELECT doc_id, text, {norm} AS nt FROM documents
+            ), tok AS (
+              SELECT doc_id, text, nt,
+                     CASE WHEN length(nt) = 0 THEN 0
+                          ELSE len(string_split(nt, ' ')) END AS toks,
+                     string_split(nt, ' ') AS words
+              FROM d
+            )
+            SELECT doc_id,
+                   length(text)::bigint AS n_chars,
+                   toks::bigint AS n_tokens,
+                   coalesce(list_sum(list_transform(
+                     regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'),
+                     t -> CASE WHEN regexp_matches(t, '^[A-Za-z]+$')
+                               THEN ceil(length(t) / 4.0)::int ELSE 1 END)), 0)::bigint
+                     AS bpe_tokens,
+                   round(CASE WHEN toks > 0 THEN length(text) / toks ELSE 0.0 END, 6)
+                     AS mean_word_len,
+                   round(CASE WHEN length(text) > 0
+                              THEN length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)
+                              ELSE 0.0 END, 6) AS digit_ratio,
+                   round(CASE WHEN length(text) > 0
+                              THEN length(regexp_replace(text, '[^A-Z]', '', 'g')) / length(text)
+                              ELSE 0.0 END, 6) AS upper_ratio,
+                   round(CASE WHEN toks > 0
+                              THEN len(list_filter(words, w -> w IN ({sw_list}))) / toks
+                              ELSE 0.0 END, 6) AS stopword_ratio
+            FROM tok
+        """,
+        "fingerprint_documents": f"SELECT doc_id, sha256({norm}) AS fp_sha256 FROM documents",
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round((sum(l_quantity::DECIMAL(18,2)))::double, 2) AS sum_qty,
+                   round((sum(l_extendedprice::DECIMAL(18,2)))::double, 2) AS sum_base_price,
+                   round((sum(l_extendedprice::DECIMAL(18,2)
+                              * (1 - l_discount::DECIMAL(18,2))))::double, 2) AS sum_disc_price,
+                   count(*)::bigint AS count_order,
+                   round(round((sum(l_quantity::DECIMAL(18,2)))::double, 2) / count(*), 6)
+                     AS avg_qty
+            FROM lineitem GROUP BY 1, 2
+        """,
+        # minhash_neardup_documents / simhash_documents / ivf_topk_embeddings:
+        # xxhash64 / FNV / hash-seeded centroids are not expressible in
+        # ANSI SQL — driver records the rows-only check.
+    }
