@@ -1,0 +1,109 @@
+"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "bench_total", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "files_per_sec": <flagship validated files/sec>, "cpus": N}
+
+The flagship workload is the north-rule job: draft-07 validation of
+the synthetic source-code table (rows ∝ sf), typed-row Column
+expression path + per-partition ledger. Every query is materialized
+through the noop sink so nothing is pruned away by a count().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E  # noqa: E402
+from json_schema_spark.session import get_spark  # noqa: E402
+from json_schema_spark.flagship import validate_source_table  # noqa: E402
+from json_schema_spark.operators.ledger import partition_ledger  # noqa: E402
+from json_schema_spark.sources.synth import source_code_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+FLAGSHIP_ROWS_PER_SF = 2_000_000  # 200k files at sf0.1
+
+HEADLINE = [
+    "validate_documents",
+    "validate_documents_kernel",
+    "validate_events_json",
+    "column_stats_lineitem",
+    "duplicate_keys_events",
+    "anti_join_customers_without_events",
+    "psi_events_click_vs_view",
+    "ks_orders_totalprice",
+    "minhash_neardup_documents",
+    "ngram_jaccard_documents",
+    "ann_topk_embeddings",
+    "text_stats_documents",
+    "agg_pricing_summary",
+]
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import shutil
+    import tempfile
+
+    sf = _sf_of(SF_DIR)
+    spark = get_spark(app="bench", cores=CPUS)
+    qs = E.queries()
+    times: dict[str, float] = {}
+
+    # setup (untimed): materialize the synthetic source-code table to
+    # parquet so the flagship measures validation-over-files (the
+    # real workload shape), not row generation; also JIT-warms the JVM.
+    rows = max(10_000, int(FLAGSHIP_ROWS_PER_SF * sf))
+    tmp = tempfile.mkdtemp(prefix="bench_src_")
+    src_path = f"{tmp}/source_files.parquet"
+    source_code_table(spark, rows, partitions=CPUS * 4).write.parquet(src_path)
+    t_all = time.perf_counter()
+
+    # flagship: draft-07 validation of the source-code file table + ledger
+    t0 = time.perf_counter()
+    validated = validate_source_table(spark.read.parquet(src_path))
+    _materialize(partition_ledger(validated))
+    t_flag = time.perf_counter() - t0
+    times["flagship_validation"] = round(t_flag, 3)
+
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _materialize(qs[name](spark, SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = time.perf_counter() - t_all
+    print(json.dumps({
+        "metric": "bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "files_per_sec": round(rows / t_flag, 1),
+        "flagship_rows": rows,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,8 +26,10 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = [
     "normalize_text",
     "exact_duplicates",
+    "ensure_parallelism",
     "char_shingles",
     "minhash_signature",
+    "minhash_signatures",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash",
@@ -74,6 +76,18 @@ def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 # ------------------------------------------------------------- MinHash/LSH
 
+def ensure_parallelism(df: DataFrame, min_parts: Optional[int] = None) -> DataFrame:
+    """Repartition ONLY if the plan has fewer partitions than the
+    session's parallelism — a local single-file parquet scan otherwise
+    pins per-row-heavy operators (shingling, MinHash, SimHash) to one
+    core. At cluster scale the input already has ≥ parallelism
+    partitions and this is a no-op (no shuffle inserted)."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def char_shingles(col, n: int = 5) -> F.Column:
     """Distinct character n-grams of the normalized text (JVM-side)."""
     s = normalize_text(col)
@@ -81,13 +95,42 @@ def char_shingles(col, n: int = 5) -> F.Column:
     return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, n)))
 
 
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       shingle_n: int = 5, num_hashes: int = 64, seed: int = 42) -> DataFrame:
+    """k-min-hash signatures via explode + codegen'd min-aggregation:
+    ``(id, shingle)`` rows → one xxhash64 per shingle → 64 cheap
+    long-mix hashes inside a hash aggregate with map-side partial mins.
+
+    This deliberately avoids higher-order ``transform`` lambdas
+    (interpreted per element, ~µs each → minutes per million shingles);
+    the position-explode/substring/agg plan stays in whole-stage
+    codegen end to end and partial aggregation shrinks the shuffle to
+    one row per (partition, id). Shingle de-duplication is skipped on
+    purpose — a min-aggregate is identical over set and multiset.
+    Returns ``(id, sig array<bigint>)``."""
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t"))
+    )
+    posting = base.select(
+        "id", "t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("t") - (shingle_n - 1), F.lit(1)))
+        ).alias("i"),
+    ).select("id", F.xxhash64(F.expr(f"substring(t, i, {int(shingle_n)})"), F.lit(seed)).alias("h"))
+    mins = posting.groupBy("id").agg(
+        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return mins.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+
+
 def minhash_signature(shingles: F.Column, num_hashes: int = 64, seed: int = 42) -> F.Column:
-    """k-min-hash signature: element i = min over shingles of
-    xxhash64(shingle, seed, i) — pure expressions, whole-stage codegen."""
+    """Column-expression k-min-hash (small-scale/composable variant;
+    prefer :func:`minhash_signatures` for corpus-sized inputs — nested
+    ``transform`` lambdas are interpreted, not codegen'd)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
-            F.transform(shingles, lambda sh: F.xxhash64(sh, F.lit(seed), i))
+            F.transform(shingles, lambda sh: F.xxhash64(F.xxhash64(sh, F.lit(seed)), i))
         ),
     )
 
@@ -111,13 +154,13 @@ def minhash_lsh_pairs(
     mega-cluster buckets degrade gracefully under AQE skew handling.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        char_shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
-    banded = base.select(
+    # Banding side carries ONLY (id, band, band_hash) — 3 longs per row —
+    # through the self-join shuffle; the (large) shingle arrays never
+    # leave their scan. At 100 TB this is the difference between
+    # shuffling ~48 B/doc/band and shuffling whole documents.
+    sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_hashes, seed)
+    banded = sigs.select(
         "id",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -131,15 +174,29 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bk"),
-    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact-Jaccard verify only on the LSH candidates: join shingles back.
+    # The candidate set (collisions that survive dedup) is orders of
+    # magnitude smaller than the corpus — broadcast IT, never the
+    # shingle side (Catalyst's size estimate of the projected shingle
+    # arrays is wildly low and a driver-side broadcast build of
+    # per-document shingle sets is the pathological plan).
+    shingles = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), char_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    cand = (
+        cand.hint("broadcast")
+        .join(shingles.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .hint("broadcast")
+        .join(shingles.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
@@ -170,7 +227,7 @@ def ngram_jaccard_pairs(
         )
     else:
         sh = char_shingles(F.col(text_col), shingle_n)
-    base = df.select(F.col(id_col).alias("id"), sh.alias("sh")).withColumn(
+    base = ensure_parallelism(df).select(F.col(id_col).alias("id"), sh.alias("sh")).withColumn(
         "n_sh", F.size("sh")
     )
     posting = base.select("id", "n_sh", F.explode("sh").alias("g"))
@@ -223,7 +280,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             out[i] = np.int64(sig.astype(np.int64))
         return pd.Series(out)
 
-    return df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash")
+    )
 
 
 def simhash_pairs(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -31,10 +31,45 @@ LEDGER_SCHEMA = (
 )
 
 
-def partition_ledger(validated: DataFrame, key_col: str = "row_id") -> DataFrame:
+def partition_ledger(validated: DataFrame, key_col: str = "row_id",
+                     timed: bool = False) -> DataFrame:
     """``validated`` must carry ``valid: boolean`` and ``violations:
     array<struct<path,keyword,message>>`` (from SparkValidator) plus a
-    stable per-row key column."""
+    stable per-row key column.
+
+    Default path is a pure-JVM aggregation (groupBy partition_id with a
+    sha256 over the sorted flattened violation lines — whole-stage
+    codegen, no Arrow transfer); ``timed=True`` switches to the
+    ``mapInPandas`` variant that additionally measures per-partition
+    wall clock in ``elapsed_ms`` (the metrics-ledger mode; it pays the
+    Arrow round trip for the timing)."""
+    if not timed:
+        slim = validated.select(
+            F.spark_partition_id().alias("partition_id"),
+            F.coalesce(F.col("valid"), F.lit(False)).alias("v"),
+            F.coalesce(
+                F.transform(
+                    F.col("violations"),
+                    lambda x: F.concat_ws(
+                        "|", F.col(key_col).cast("string"), x["path"], x["keyword"]
+                    ),
+                ),
+                F.array().cast("array<string>"),
+            ).alias("lines"),
+        )
+        return (
+            slim.groupBy("partition_id")
+            .agg(
+                F.count(F.lit(1)).alias("rows_scanned"),
+                F.sum(F.col("v").cast("long")).alias("valid_rows"),
+                F.sum((~F.col("v")).cast("long")).alias("violation_rows"),
+                F.sum(F.size("lines").cast("long")).alias("violations"),
+                F.lit(None).cast("double").alias("elapsed_ms"),
+                F.sha2(
+                    F.concat_ws("\n", F.sort_array(F.flatten(F.collect_list("lines")))), 256
+                ).alias("violations_sha256"),
+            )
+        )
 
     slim = validated.select(
         F.spark_partition_id().alias("pid"),

@@ -133,6 +133,20 @@ def test_ledger_and_digest_deterministic(spark, table):
     assert g1["violation_count"] == g2["violation_count"]
 
 
+def test_ledger_fast_matches_timed(spark, table):
+    """The JVM-aggregation ledger and the mapInPandas timed ledger must
+    agree on every metric and on the per-partition violation digest."""
+    v = validate_source_table(table)
+    fast = {r["partition_id"]: r for r in partition_ledger(v).collect()}
+    timed = {r["partition_id"]: r for r in partition_ledger(v, timed=True).collect()}
+    assert fast.keys() == timed.keys()
+    for pid in fast:
+        for field in ("rows_scanned", "valid_rows", "violation_rows",
+                      "violations", "violations_sha256"):
+            assert fast[pid][field] == timed[pid][field], (pid, field)
+        assert timed[pid]["elapsed_ms"] is not None
+
+
 def test_checkpoint_resume(spark, tmp_path):
     df = source_code_table(spark, 3000, partitions=4)
     run = ResumableRun(str(tmp_path / "run"), n_buckets=8)
