@@ -116,6 +116,16 @@ class _BaseCompiler:
             return ""
         return "/" + "/".join(str(p) for p in path)
 
+    def _num_check(self, val, build: Callable[[Column], Column]) -> Column:
+        """Numeric predicate with exact-decimal semantics and a double
+        fallback for magnitudes outside decimal(38,18) (the reference
+        uses unbounded BigDecimal — ``BaseNumberCompiler.java:24``; a
+        JSON number beyond 38 digits was parsed from a double anyway,
+        so double comparison is exact there)."""
+        dec = self.v_as_number(val)
+        dbl = self.v_as_number_dbl(val)
+        return F.when(dec.isNotNull(), build(dec)).otherwise(build(dbl))
+
     def _regex(self, pattern: str) -> str:
         try:
             re.compile(pattern)
@@ -183,14 +193,16 @@ class _BaseCompiler:
                 if isinstance(node[kw], bool):
                     raise ExprUnsupported("draft-04 boolean exclusive bounds unsupported")
                 bound = F.lit(to_decimal(node[kw])).cast(DEC)
-                num = self.v_as_number(val)
-                cmpc = {"<": num < bound, "<=": num <= bound,
-                        ">": num > bound, ">=": num >= bound}[op]
+                cmpc = self._num_check(
+                    val,
+                    lambda num, _op=op, _b=bound: {"<": num < _b, "<=": num <= _b,
+                                                   ">": num > _b, ">=": num >= _b}[_op],
+                )
                 checks.append(Check(_nn(self.v_is_number(val) & ~_nn(cmpc)), p, kw,
                                     f"violates {kw} {node[kw]}"))
         if "multipleOf" in node:
             m = F.lit(to_decimal(node["multipleOf"])).cast(DEC)
-            ok = self.v_as_number(val) % m == 0
+            ok = self._num_check(val, lambda num: num % m == 0)
             checks.append(Check(_nn(self.v_is_number(val) & ~_nn(ok)), p, "multipleOf",
                                 f"not a multiple of {node['multipleOf']}"))
         if "pattern" in node:
@@ -323,7 +335,8 @@ class VariantCompiler(_BaseCompiler):
         if t == "number":
             return self.v_is_number(v)
         if t == "integer":
-            return _nn(self.v_is_number(v) & _nn(self.v_as_number(v) % F.lit(1).cast(DEC) == 0))
+            frac_zero = self._num_check(v, lambda n: n % F.lit(1).cast(DEC) == 0)
+            return _nn(self.v_is_number(v) & _nn(frac_zero))
         raise ExprUnsupported(f"unknown type {t!r}")
 
     def v_is_string(self, v: Column) -> Column:
@@ -344,6 +357,9 @@ class VariantCompiler(_BaseCompiler):
 
     def v_as_number(self, v: Column) -> Column:
         return F.try_variant_get(v, "$", DEC)
+
+    def v_as_number_dbl(self, v: Column) -> Column:
+        return F.try_variant_get(v, "$", "double")
 
     def v_as_bool(self, v: Column) -> Column:
         return F.try_variant_get(v, "$", "boolean")
@@ -587,7 +603,8 @@ class TypedRowCompiler(_BaseCompiler):
             return F.lit(False)
         st = self._static(val, t)
         if st is None and t == "integer":
-            return _nn(col.cast(DEC) % F.lit(1).cast(DEC) == 0)
+            frac_zero = self._num_check(val, lambda n: n % F.lit(1).cast(DEC) == 0)
+            return _nn(frac_zero)
         if st:
             return self.v_present(val)
         return F.lit(False)
@@ -613,6 +630,10 @@ class TypedRowCompiler(_BaseCompiler):
     def v_as_number(self, val) -> Column:
         col, dt, fields = val
         return col.cast(DEC)
+
+    def v_as_number_dbl(self, val) -> Column:
+        col, dt, fields = val
+        return col.cast("double")
 
     def v_as_bool(self, val) -> Column:
         col, dt, fields = val

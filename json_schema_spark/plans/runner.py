@@ -41,7 +41,8 @@ _KERNEL_CACHE: dict[tuple, CompiledSchema] = {}
 
 
 def _executor_kernel(key: tuple, schema_json: str, docs_json: str, dialect: str,
-                     fmt: bool, content_mode: str, collect: bool) -> CompiledSchema:
+                     fmt: bool, content_mode: str, collect: bool,
+                     custom_formats: Optional[dict] = None) -> CompiledSchema:
     k = _KERNEL_CACHE.get(key)
     if k is None:
         reg = SchemaRegistry(default_dialect=dialect)
@@ -49,7 +50,8 @@ def _executor_kernel(key: tuple, schema_json: str, docs_json: str, dialect: str,
             if not uri.startswith("urn:json-schema-spark:anon:"):
                 reg.add(doc, uri)
         cfg = CompileConfig(dialect=dialect, format_assertions=fmt,
-                            content_mode=content_mode, collect_errors=collect)
+                            content_mode=content_mode, collect_errors=collect,
+                            custom_formats=custom_formats or {})
         k = compile_schema(json.loads(schema_json), registry=reg, config=cfg)
         _KERNEL_CACHE[key] = k
     return k
@@ -71,15 +73,20 @@ class SparkValidator:
         content_mode: str = "default",
         registry: Optional[SchemaRegistry] = None,
         engine: str = "auto",  # auto | expr | udf
+        custom_formats: Optional[dict] = None,  # name -> Callable[[str], bool]
     ):
         if isinstance(schema, str):
             schema = json.loads(schema)
         self.schema = schema
         self.engine = engine
+        # custom format predicates ride to executors inside the UDF
+        # closure (Spark pickles them) — mirrors SchemaBuilder.java:306-323
+        self.custom_formats = dict(custom_formats or {})
         self.config = CompileConfig(
             dialect=dialect or "draft7",
             format_assertions=format_assertions,
             content_mode=content_mode,
+            custom_formats=self.custom_formats,
         )
         self.registry = registry or SchemaRegistry(default_dialect=self.config.dialect)
         self.root_uri = self.registry.add(schema)
@@ -91,6 +98,11 @@ class SparkValidator:
             {u: d for u, d in self.registry.docs.items()}, default=float
         )
         self._schema_json = json.dumps(schema, default=float)
+        # cache-key component distinguishing custom format sets (per
+        # worker; keyed by instance identity so redefinitions don't
+        # collide in the executor kernel cache)
+        self._formats_key = (id(self), tuple(sorted(self.custom_formats))) \
+            if self.custom_formats else ()
 
     # ------------------------------------------------------ JSON mode
 
@@ -119,13 +131,16 @@ class SparkValidator:
 
     def _udf_result(self) -> "F.pandas_udf":
         key = (self._schema_json, self._docs_json, self.dialect,
-               self.config.format_assertions, self.config.content_mode, True)
+               self.config.format_assertions, self.config.content_mode, True,
+               self._formats_key)
         schema_json, docs_json, dialect = self._schema_json, self._docs_json, self.dialect
         fmt, cmode = self.config.format_assertions, self.config.content_mode
+        customs = self.custom_formats
 
         @F.pandas_udf(_RESULT_SCHEMA)
         def validate_batch(docs: pd.Series) -> pd.DataFrame:
-            kernel = _executor_kernel(key, schema_json, docs_json, dialect, fmt, cmode, True)
+            kernel = _executor_kernel(key, schema_json, docs_json, dialect, fmt, cmode, True,
+                                      customs)
             valids, viols = [], []
             for doc in docs:
                 if doc is None:
@@ -145,13 +160,16 @@ class SparkValidator:
         """Boolean-only vectorized verdict UDF (fast mode — no error
         materialization, mirrors the kernel's non-collecting path)."""
         key = (self._schema_json, self._docs_json, self.dialect,
-               self.config.format_assertions, self.config.content_mode, False)
+               self.config.format_assertions, self.config.content_mode, False,
+               self._formats_key)
         schema_json, docs_json, dialect = self._schema_json, self._docs_json, self.dialect
         fmt, cmode = self.config.format_assertions, self.config.content_mode
+        customs = self.custom_formats
 
         @F.pandas_udf("boolean")
         def valid_batch(docs: pd.Series) -> pd.Series:
-            kernel = _executor_kernel(key, schema_json, docs_json, dialect, fmt, cmode, False)
+            kernel = _executor_kernel(key, schema_json, docs_json, dialect, fmt, cmode, False,
+                                      customs)
             f = kernel.is_valid_json
             return docs.map(lambda d: None if d is None else f(d))
 

@@ -1,0 +1,69 @@
+"""Differential conformance: the SPARK path (Column-expression variant
+compiler with pandas-UDF kernel fallback — the exact plan production
+uses via ``SparkValidator.apply_json``) must produce the same verdict
+as the suite expectation for every embedded conformance case.
+
+The kernel-only runner (``test_suite_conformance``) proves the Python
+semantics; this proves the distributed plan. One Spark job per schema
+group (all of a group's instances in one DataFrame) keeps the whole
+sweep to a few minutes at ``local[4]``.
+"""
+
+import json
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_spark.plans.compiler import ExprUnsupported
+from json_schema_spark.plans.runner import SparkValidator
+
+SUITE = pathlib.Path(__file__).parent / "suite"
+_DIALECTS = {"draft7": "draft7", "draft2019": "2019-09", "draft2020": "2020-12"}
+
+
+def _groups():
+    out = []
+    for sub, dialect in _DIALECTS.items():
+        for f in sorted((SUITE / sub).glob("*.json")):
+            fmt = f.name.startswith("optional_format")
+            for g in json.loads(f.read_text()):
+                gid = f"{sub}/{f.stem}::{g['description']}"
+                out.append(pytest.param(dialect, fmt, g["schema"], g["tests"], id=gid))
+    return out
+
+
+@pytest.mark.parametrize("dialect,fmt,schema,tests", _groups())
+def test_spark_path_verdicts(spark, dialect, fmt, schema, tests):
+    v = SparkValidator(schema, dialect=dialect, format_assertions=fmt, engine="auto")
+    rows = [(i, json.dumps(t["data"])) for i, t in enumerate(tests)]
+    df = spark.createDataFrame(rows, "i int, doc string")
+    got = {
+        r["i"]: r["valid"]
+        for r in v.apply_json(df, "doc", with_violations=False).collect()
+    }
+    for i, t in enumerate(tests):
+        assert got[i] is t["valid"], (
+            f"spark path verdict mismatch for {t['description']!r}: "
+            f"got {got[i]}, suite says {t['valid']}"
+        )
+
+
+def test_expression_path_coverage():
+    """Track how much of the corpus the pure-expression compiler can
+    take (no UDF fallback) — a regression guard on expressibility."""
+    total = expr = 0
+    for sub, dialect in _DIALECTS.items():
+        for f in sorted((SUITE / sub).glob("*.json")):
+            for g in json.loads(f.read_text()):
+                total += 1
+                try:
+                    v = SparkValidator(g["schema"], dialect=dialect)
+                    v.json_columns(F.col("doc"))
+                    expr += 1
+                except ExprUnsupported:
+                    pass
+                except Exception:
+                    pass
+    # at least half the corpus should stay on the codegen fast path
+    assert expr / total >= 0.5, f"expression coverage fell to {expr}/{total}"
