@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from json_schema_spark.plans.runner import SparkValidator
 from json_schema_spark.operators import checks as C
+from json_schema_spark.operators.dedup import ensure_parallelism
 from json_schema_spark.operators import dedup as D
 from json_schema_spark.operators import drift as R
 from json_schema_spark.operators import similarity as S
@@ -83,17 +84,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table fanned out to session parallelism — the local testdata
+    tables are single parquet files (one scan partition), which would
+    serialize per-row-heavy plans; no-op on already-parallel input."""
+    return ensure_parallelism(_t(spark, sf_dir, name))
+
+
 # --------------------------------------------------------------- queries
 
 
 def _q_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _t(spark, sf_dir, "documents")
+    df = _tp(spark, sf_dir, "documents")
     v = SparkValidator(DOCS_SCHEMA, dialect="draft7")
     return v.apply_table(df, columns=DOCS_COLS, with_violations=False).select("doc_id", "valid")
 
 
 def _q_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _t(spark, sf_dir, "documents")
+    df = _tp(spark, sf_dir, "documents")
     v = SparkValidator(DOCS_SCHEMA, dialect="draft7")
     out = v.apply_table(df, columns=DOCS_COLS)
     return (
@@ -107,7 +115,7 @@ def _q_validate_documents_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same schema through the Arrow-batched pandas-UDF kernel over a
     JSON-serialized doc — differential check of the two engines against
     one oracle."""
-    df = _t(spark, sf_dir, "documents").withColumn(
+    df = _tp(spark, sf_dir, "documents").withColumn(
         "doc", F.to_json(F.struct(*DOCS_COLS))
     )
     v = SparkValidator(DOCS_SCHEMA, dialect="draft7", engine="udf")
@@ -115,13 +123,13 @@ def _q_validate_documents_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_validate_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _t(spark, sf_dir, "events")
+    df = _tp(spark, sf_dir, "events")
     v = SparkValidator(PROPS_SCHEMA, dialect="draft7")
     return v.apply_json(df, "props", with_violations=False).select("event_id", "valid")
 
 
 def _q_validate_events_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _t(spark, sf_dir, "events")
+    df = _tp(spark, sf_dir, "events")
     v = SparkValidator(COND_SCHEMA, dialect="draft7")
     return v.apply_json(df, "props", with_violations=False).select("event_id", "valid")
 
@@ -215,7 +223,7 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feat = T.quality_features(_t(spark, sf_dir, "documents"))
+    feat = T.quality_features(_tp(spark, sf_dir, "documents"))
     return feat.select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
@@ -229,7 +237,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fp_sha256")
+    return T.fingerprint(_tp(spark, sf_dir, "documents")).select("doc_id", "fp_sha256")
 
 
 def _q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:

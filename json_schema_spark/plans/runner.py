@@ -177,15 +177,41 @@ class SparkValidator:
 
     def apply_json(self, df: DataFrame, doc_col: str = "doc",
                    with_violations: bool = True) -> DataFrame:
-        """Adds ``valid: boolean`` (and ``violations``) columns."""
+        """Adds ``valid: boolean`` (and ``violations``) columns.
+
+        Expression path parses the document ONCE into an intermediate
+        variant column (separate projection). Building every check on
+        the raw ``try_parse_json(doc)`` expression would inline a
+        re-parse at each of the ~2×keywords occurrences — conditional
+        (CASE WHEN) contexts defeat codegen subexpression elimination,
+        so for large documents that multiplies the dominant parse cost.
+        """
         doc = F.col(doc_col)
         if self.engine in ("auto", "expr"):
             try:
-                valid, viols = self.json_columns(doc)
-                out = df.withColumn("valid", valid)
+                comp = VariantCompiler(
+                    self.registry,
+                    dialect=self.dialect,
+                    format_assertions=self.config.format_assertions,
+                    content_asserts=False,
+                )
+                tmp = "__jss_variant"
+                checks = comp.compile(self.schema, F.col(tmp), ())
+                parse_fail = Check(doc.isNotNull() & F.col(tmp).isNull(),
+                                   "", "$parse", "not parseable JSON")
+                checks = [parse_fail] + checks
+                out = df.withColumn(tmp, F.try_parse_json(doc))
+                # NULL doc → NULL verdict (matches the UDF kernel path)
+                out = out.withColumn(
+                    "valid",
+                    F.when(doc.isNull(), F.lit(None).cast("boolean")).otherwise(ok_of(checks)),
+                )
                 if with_violations:
-                    out = out.withColumn("violations", viols)
-                return out
+                    out = out.withColumn(
+                        "violations",
+                        F.when(doc.isNull(), F.lit(None)).otherwise(violations_array(checks)),
+                    )
+                return out.drop(tmp)
             except ExprUnsupported:
                 if self.engine == "expr":
                     raise
