@@ -22,6 +22,7 @@ from json_schema_spark.operators import checks as C
 from json_schema_spark.operators.dedup import ensure_parallelism
 from json_schema_spark.operators import dedup as D
 from json_schema_spark.operators import drift as R
+from json_schema_spark.operators import ledger as L
 from json_schema_spark.operators import similarity as S
 from json_schema_spark.operators import text as T
 
@@ -217,9 +218,39 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", F.col("embedding").cast("array<double>")
     )
     q = emb.filter(F.col("vec_id") < 10)
-    assigned, cents = S.build_ivf(emb, n_centroids=8)
+    assigned, cents = S.build_ivf(emb, n_centroids=8, iters=2)
     out = S.ivf_topk(assigned, cents, q, k=5, n_probe=4)
     return out.select("query_id", "item_id", "rank", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the IVF probe path vs the exact brute-force oracle —
+    one row, single int/int division (bit-stable cross-engine)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    assigned, cents = S.build_ivf(emb, n_centroids=8, iters=2)
+    ivf = S.ivf_topk(assigned, cents, q, k=5, n_probe=4).select("query_id", "item_id")
+    bf = S.brute_force_topk(emb, q, k=5).select("query_id", "item_id")
+    hit = ivf.join(bf, ["query_id", "item_id"], "inner")
+    return hit.agg((F.count(F.lit(1)) / F.lit(50)).alias("recall"))
+
+
+def _q_partition_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """north_rule headline artifact: per-bucket pass/fail + metrics
+    ledger with a sha256 digest of the sorted violation lines, over a
+    deterministic key bucket (stable across repartitionings)."""
+    df = _tp(spark, sf_dir, "documents")
+    v = SparkValidator(DOCS_SCHEMA, dialect="draft7")
+    out = v.apply_table(df, columns=DOCS_COLS).withColumn(
+        "bucket", F.pmod(F.col("doc_id"), F.lit(8))
+    )
+    led = L.partition_ledger(out, key_col="doc_id", part_col="bucket")
+    return led.select(
+        "partition_id", "rows_scanned", "valid_rows", "violation_rows",
+        "violations", "violations_sha256",
+    )
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,10 +324,159 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": _q_simhash,
         "ann_topk_embeddings": _q_ann_topk,
         "ivf_topk_embeddings": _q_ivf_topk,
+        "ivf_recall_embeddings": _q_ivf_recall,
+        "partition_ledger_documents": _q_partition_ledger,
         "text_stats_documents": _q_text_stats,
         "fingerprint_documents": _q_fingerprint,
         "agg_pricing_summary": _q_agg_pricing,
     }
+
+
+def _simhash_oracle_sql(norm: str) -> str:
+    """DuckDB replica of :func:`json_schema_spark.operators.dedup.simhash`:
+    same sha256-derived 64-bit token hash, same ±1 bit votes, same
+    digit/shift bit mapping. Bit 63 is OR'd in as min-bigint (DuckDB
+    errors on ``1 << 63``)."""
+    digit_cols = ", ".join(
+        f"(strpos('0123456789abcdef', substring(h, {p + 1}, 1)) - 1)::BIGINT AS d{p}"
+        for p in range(16)
+    )
+    vote_cols = ", ".join(
+        f"sum(((d{b // 4} >> {b % 4}) & 1) * 2 - 1) AS v{b}" for b in range(64)
+    )
+    sig = " | ".join(
+        ["CASE WHEN v63 > 0 THEN (CAST(-9223372036854775807 AS BIGINT) - 1) ELSE 0 END"]
+        + [f"CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END"
+           for b in range(63)]
+    )
+    return f"""
+        WITH t AS (SELECT doc_id AS id, {norm} AS nt FROM documents),
+        tok AS (SELECT id, unnest(string_split(nt, ' ')) AS tok FROM t),
+        h AS (SELECT id, substring(sha256(tok), 1, 16) AS h FROM tok),
+        d AS (SELECT id, {digit_cols} FROM h),
+        v AS (SELECT id, {vote_cols} FROM d GROUP BY id)
+        SELECT id, ({sig})::BIGINT AS simhash FROM v
+    """
+
+
+def _ivf_ctes(n_cent: int = 8, iters: int = 2) -> tuple[str, str, str]:
+    """Shared DuckDB CTE chain replicating ``build_ivf`` exactly:
+    mod-seeded assignment, per-dimension exact DECIMAL(27,12) sums as
+    centroids (scale-free under cosine), ``iters`` argmax reassignment
+    rounds with (sim DESC, cid ASC) tie-break. Returns (cte_sql,
+    final_assignment_name, final_centroids_name)."""
+    parts = [
+        "c AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS cv FROM embeddings)",
+        "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
+        " FROM embeddings WHERE vec_id < 10)",
+        f"a0 AS (SELECT item_id, cv, (item_id % {n_cent})::INT AS cid FROM c)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"e{i} AS (SELECT cid, generate_subscripts(cv, 1) AS pos, unnest(cv) AS x"
+            f" FROM a{i})"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY pos) AS cent FROM ("
+            f"SELECT cid, pos, sum(CAST(x AS DECIMAL(27,12))) AS s FROM e{i}"
+            f" GROUP BY cid, pos) GROUP BY cid)"
+        )
+        parts.append(
+            f"s{i + 1} AS (SELECT item_id, cv, t.cid AS cid,"
+            f" list_dot_product(cv, cent) / sqrt(list_dot_product(cent, cent)) AS sim"
+            f" FROM c CROSS JOIN c{i + 1} t WHERE list_dot_product(cent, cent) > 0)"
+        )
+        parts.append(
+            f"a{i + 1} AS (SELECT item_id, cv, cid FROM ("
+            f"SELECT item_id, cv, cid, row_number() OVER ("
+            f"PARTITION BY item_id ORDER BY sim DESC, cid ASC) AS rn FROM s{i + 1})"
+            f" WHERE rn = 1)"
+        )
+    return ",\n        ".join(parts), f"a{iters}", f"c{iters}"
+
+
+def _ivf_topk_ctes(n_cent: int = 8, iters: int = 2, k: int = 5, n_probe: int = 4) -> str:
+    ctes, a_fin, c_fin = _ivf_ctes(n_cent, iters)
+    cos_probe = (
+        "list_dot_product(qv, cent) / (sqrt(list_dot_product(qv, qv))"
+        " * sqrt(list_dot_product(cent, cent)))"
+    )
+    cos_item = (
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv))"
+        " * sqrt(list_dot_product(cv, cv)))"
+    )
+    return f"""{ctes},
+        pq AS (SELECT query_id, qv, cid FROM (
+            SELECT query_id, qv, cid, row_number() OVER (
+                PARTITION BY query_id ORDER BY csim DESC, cid ASC) AS rn
+            FROM (SELECT query_id, qv, t.cid AS cid, {cos_probe} AS csim
+                  FROM q CROSS JOIN {c_fin} t)) WHERE rn <= {n_probe}),
+        sc AS (SELECT query_id, item_id, {cos_item} AS cos
+               FROM pq JOIN {a_fin} USING (cid)),
+        r AS (SELECT query_id, item_id, cos, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, item_id ASC) AS rnk FROM sc)"""
+
+
+def _ivf_topk_oracle_sql() -> str:
+    return f"""
+        WITH {_ivf_topk_ctes()}
+        SELECT query_id, item_id, rnk::int AS rank, round(cos, 6) AS cosine
+        FROM r WHERE rnk <= 5
+    """
+
+
+def _ivf_recall_oracle_sql() -> str:
+    return f"""
+        WITH {_ivf_topk_ctes()},
+        ivf AS (SELECT query_id, item_id FROM r WHERE rnk <= 5),
+        bfs AS (SELECT query_id, item_id,
+                       list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv))
+                       * sqrt(list_dot_product(cv, cv))) AS cos
+                FROM q CROSS JOIN c),
+        bf AS (SELECT query_id, item_id FROM (
+            SELECT query_id, item_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, item_id ASC) AS rnk FROM bfs)
+            WHERE rnk <= 5)
+        SELECT count(*) / 50 AS recall FROM ivf JOIN bf USING (query_id, item_id)
+    """
+
+
+def _ledger_oracle_sql() -> str:
+    """DuckDB replica of the keyed partition ledger over the documents
+    validation: per doc_id%8 bucket — row/valid/violation counts and the
+    sha256 of the sorted ``doc_id|path|keyword`` violation lines."""
+    rules = [
+        ("text IS NOT NULL AND length(text) < 60", "/text", "minLength"),
+        ("lang IS NOT NULL AND lang NOT IN ('en','de','es','fr')", "/lang", "enum"),
+        ("n_chars IS NOT NULL AND n_chars > 400", "/n_chars", "maximum"),
+        ("source IS NOT NULL AND NOT regexp_matches(source, '^src1?[0-9]$')",
+         "/source", "pattern"),
+        ("doc_id IS NOT NULL AND doc_id < 0", "/doc_id", "minimum"),
+    ]
+    viols = " UNION ALL ".join(
+        f"SELECT doc_id % 8 AS partition_id, "
+        f"doc_id::VARCHAR || '|{path}|{kw}' AS line FROM documents WHERE {cond}"
+        for cond, path, kw in rules
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id % 8 AS partition_id, {DOCS_VALID_SQL} AS valid FROM documents
+        ), cnt AS (
+          SELECT partition_id, count(*)::bigint AS rows_scanned,
+                 sum(valid::int)::bigint AS valid_rows,
+                 sum((NOT valid)::int)::bigint AS violation_rows
+          FROM base GROUP BY 1
+        ), lines AS ({viols}), vagg AS (
+          SELECT partition_id, count(*)::bigint AS violations,
+                 sha256(string_agg(line, chr(10) ORDER BY line)) AS violations_sha256
+          FROM lines GROUP BY 1
+        )
+        SELECT cnt.partition_id::int AS partition_id, rows_scanned, valid_rows,
+               violation_rows,
+               coalesce(violations, 0)::bigint AS violations,
+               coalesce(violations_sha256, sha256('')) AS violations_sha256
+        FROM cnt LEFT JOIN vagg USING (partition_id)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -330,13 +510,41 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE viol_count > 0
         """,
         "validate_documents_kernel": f"SELECT doc_id, {DOCS_VALID_SQL} AS valid FROM documents",
-        "validate_events_json": (
-            "SELECT event_id, ((props::JSON->>'k')::bigint BETWEEN 0 AND 50) AS valid FROM events"
-        ),
-        "validate_events_conditional": """
+        # Total oracles: NULL props → NULL verdict, unparseable → false,
+        # missing / non-numeric / non-integer k → false (matches the
+        # Spark required+type+bounds semantics; a bare BETWEEN yields
+        # NULL, not false, when k is absent).
+        "validate_events_json": """
             SELECT event_id,
-                   CASE WHEN k >= 50 THEN k % 2 = 0 ELSE k % 3 = 0 END AS valid
-            FROM (SELECT event_id, (props::JSON->>'k')::bigint AS k FROM events)
+                   CASE WHEN props IS NULL THEN NULL
+                        WHEN try_cast(props AS JSON) IS NULL THEN FALSE
+                        ELSE coalesce(
+                          json_type(try_cast(props AS JSON)) = 'OBJECT'
+                          AND json_type(try_cast(props AS JSON), '$.k')
+                              IN ('BIGINT','UBIGINT','DOUBLE')
+                          AND try_cast(try_cast(props AS JSON)->>'k' AS DOUBLE)
+                              = floor(try_cast(try_cast(props AS JSON)->>'k' AS DOUBLE))
+                          AND try_cast(try_cast(props AS JSON)->>'k' AS DOUBLE)
+                              BETWEEN 0 AND 50, FALSE)
+                   END AS valid
+            FROM events
+        """,
+        "validate_events_conditional": """
+            WITH e AS (
+              SELECT event_id, props, try_cast(props AS JSON) AS j,
+                     try_cast(try_cast(props AS JSON)->>'k' AS DOUBLE) AS d
+              FROM events
+            )
+            SELECT event_id,
+                   CASE WHEN props IS NULL THEN NULL
+                        WHEN j IS NULL THEN FALSE
+                        ELSE coalesce(
+                          json_type(j) = 'OBJECT'
+                          AND json_type(j, '$.k') IN ('BIGINT','UBIGINT','DOUBLE')
+                          AND d = floor(d)
+                          AND CASE WHEN d >= 50 THEN d % 2 = 0 ELSE d % 3 = 0 END, FALSE)
+                   END AS valid
+            FROM e
         """,
         "column_stats_lineitem": stats_parts,
         "length_histogram_documents": """
@@ -481,6 +689,10 @@ def oracle_sql() -> dict[str, str]:
             FROM tok
         """,
         "fingerprint_documents": f"SELECT doc_id, sha256({norm}) AS fp_sha256 FROM documents",
+        "simhash_documents": _simhash_oracle_sql(norm),
+        "ivf_topk_embeddings": _ivf_topk_oracle_sql(),
+        "ivf_recall_embeddings": _ivf_recall_oracle_sql(),
+        "partition_ledger_documents": _ledger_oracle_sql(),
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round((sum(l_quantity::DECIMAL(18,2)))::double, 2) AS sum_qty,
@@ -492,7 +704,7 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_qty
             FROM lineitem GROUP BY 1, 2
         """,
-        # minhash_neardup_documents / simhash_documents / ivf_topk_embeddings:
-        # xxhash64 / FNV / hash-seeded centroids are not expressible in
-        # ANSI SQL — driver records the rows-only check.
+        # minhash_neardup_documents: xxhash64 signatures are not
+        # expressible in ANSI SQL — driver records the rows-only check
+        # (recall vs planted near-dups is pytest-asserted instead).
     }

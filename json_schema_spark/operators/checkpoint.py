@@ -19,7 +19,7 @@ import os
 import time
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 __all__ = ["ResumableRun"]
 
@@ -67,21 +67,24 @@ class ResumableRun:
             part = src.filter(F.col("__bucket") == b).drop("__bucket")
             validated = validate(part)
             out = validated.withColumn("__bucket", F.lit(b))
-            out.write.mode("append").parquet(self.out_dir)
-            stats = (
-                spark.read.parquet(self.out_dir)
-                .filter(F.col("__bucket") == b)
-                .agg(
-                    F.count(F.lit(1)).alias("rows"),
-                    F.sum((~F.col("valid")).cast("long")).alias("violation_rows"),
-                    F.coalesce(
-                        F.expr("conv(cast(bit_xor(xxhash64(cast(" + self.key_col +
-                               " as string), cast(valid as string))) as string), 10, 16)"),
-                        F.lit("0"),
-                    ).alias("digest_xor64"),
-                )
-                .collect()[0]
+            # Manifest metrics ride on the write job itself via observe()
+            # — zero extra passes (the old shape re-read the written
+            # parquet and ran a second job per bucket).
+            obs = Observation(f"bucket_{b}")
+            out = out.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.coalesce(F.sum((~F.col("valid")).cast("long")), F.lit(0)).alias(
+                    "violation_rows"
+                ),
+                F.coalesce(
+                    F.expr("conv(cast(bit_xor(xxhash64(cast(" + self.key_col +
+                           " as string), cast(valid as string))) as string), 10, 16)"),
+                    F.lit("0"),
+                ).alias("digest_xor64"),
             )
+            out.write.mode("append").parquet(self.out_dir)
+            stats = obs.get
             manifest = spark.createDataFrame(
                 [(b, stats["rows"], stats["violation_rows"], stats["digest_xor64"],
                   (time.perf_counter() - t0) * 1000.0)],

@@ -114,15 +114,17 @@ def duplicate_keys_salted(df: DataFrame, keys: Sequence[str], salt_buckets: int 
 
 def uniqueness_report(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Aggregate verdict: total rows, distinct keys, duplicate keys,
-    duplicated rows."""
-    dups = duplicate_keys(df, keys)
-    total = df.agg(F.count(F.lit(1)).alias("row_count"),
-                   F.count_distinct(*[F.col(k) for k in keys]).alias("distinct_keys"))
-    agg = dups.agg(
-        F.count(F.lit(1)).alias("duplicate_keys"),
-        F.coalesce(F.sum("dup_count"), F.lit(0)).alias("duplicated_rows"),
+    duplicated rows — all four derived from ONE ``groupBy(keys).count()``
+    pass (map-side partial counts, then a final narrow reduce of one row
+    per distinct key) instead of scanning the table twice."""
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
+    dup = F.col("c") > 1
+    return per_key.agg(
+        F.sum("c").alias("row_count"),
+        F.count(F.lit(1)).alias("distinct_keys"),
+        F.sum(dup.cast("long")).alias("duplicate_keys"),
+        F.coalesce(F.sum(F.when(dup, F.col("c"))), F.lit(0)).alias("duplicated_rows"),
     )
-    return total.crossJoin(agg)
 
 
 # ------------------------------------------------------------ referential

@@ -1,10 +1,10 @@
 """Deduplication operators for large-scale training-data pipelines.
 
 All hot paths are JVM-side Column expressions (shingling, MinHash,
-banding, Jaccard verification); SimHash uses a vectorized pandas UDF
-(numpy bit packing). Pair generation is always LSH-band-bounded — no
-quadratic self-join at scale; the exact-verify step runs only on
-band-collision candidates.
+SimHash bit-votes, banding, Jaccard verification) — zero Python on
+executors. Pair generation is always LSH-band-bounded — no quadratic
+self-join at scale; the exact-verify step runs only on band-collision
+candidates.
 
 * exact: sha256(normalized text) groupBy           — O(n) one shuffle
 * MinHash + LSH: shingle → k-permutation signature → banded buckets →
@@ -19,8 +19,6 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
@@ -192,12 +190,18 @@ def minhash_lsh_pairs(
     shingles = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), char_shingles(F.col(text_col), shingle_n).alias("sh")
     )
-    cand = (
-        cand.hint("broadcast")
-        .join(shingles.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .hint("broadcast")
-        .join(shingles.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-    )
+    # Two broadcast(cand) joins, each streaming the shingle scan with no
+    # shuffle (the pair set is the explicit build side), merged on the
+    # pair key. Only candidate-matched rows — O(|cand|), not O(corpus) —
+    # carry their shingle arrays through the final merge shuffle. A
+    # chained .hint("broadcast") here would attach to the join RESULT
+    # (which carries per-document shingle arrays) and rebuild it on the
+    # driver — the pathological plan.
+    a_side = shingles.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")) \
+        .join(F.broadcast(cand), "id_a")
+    b_side = shingles.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")) \
+        .join(F.broadcast(cand.select("id_b").distinct()), "id_b")
+    cand = a_side.join(b_side, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
@@ -247,42 +251,51 @@ def ngram_jaccard_pairs(
 
 # ----------------------------------------------------------------- SimHash
 
+_HEXMAP = "0123456789abcdef"
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 64) -> DataFrame:
-    """64-bit SimHash via a vectorized pandas UDF (numpy): tokens hashed
-    with a splitmix-style mix; bit b of the signature = sign of the
-    summed ±1 votes. Arrow-batched — no per-row Python round trips."""
+    """64-bit SimHash, entirely JVM-side (no Python on executors):
+    explode whitespace tokens of the normalized text, hash each token
+    once with sha256 (first 16 hex chars = 64 bits), pre-project the 16
+    hex-digit values, then one codegen'd hash aggregate of 64 ±1
+    bit-vote sums (map-side partial aggregation shrinks the shuffle to
+    one row per (partition, id), exactly like ``minhash_signatures``).
+    Bit ``b`` of the signature is set iff its vote sum is positive;
+    ``b`` maps to hex digit ``b // 4``, intra-digit shift ``b % 4``.
+
+    sha256 (not xxhash64) keeps the whole signature reproducible in
+    ANSI SQL, so the driver oracle can pair it (DuckDB has ``sha256``
+    but no xxhash64). Returns ``(id, simhash bigint)``."""
     assert bits == 64
-
-    @F.pandas_udf("long")
-    def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        mask = np.uint64(0xFFFFFFFFFFFFFFFF)
-        for i, t in enumerate(texts):
-            if t is None:
-                continue
-            toks = t.lower().split()
-            if not toks:
-                continue
-            hs = np.empty(len(toks), dtype=np.uint64)
-            for j, tok in enumerate(toks):
-                # FNV-1a: deterministic across processes (unlike hash())
-                x = np.uint64(14695981039346656037)
-                for ch in tok.encode():
-                    x = (x ^ np.uint64(ch)) * np.uint64(1099511628211) & mask
-                hs[j] = x
-            bits_m = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
-            votes = (2 * bits_m - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for b in range(64):
-                if votes[b] > 0:
-                    sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig.astype(np.int64))
-        return pd.Series(out)
-
-    return ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash")
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t"))
     )
+    toks = base.select("id", F.explode(F.split("t", " ")).alias("tok"))
+    h = toks.select("id", F.substring(F.sha2(F.col("tok"), 256), 1, 16).alias("h"))
+    digits = h.select(
+        "id",
+        *[
+            (F.instr(F.lit(_HEXMAP), F.substring("h", p + 1, 1)) - 1).alias(f"d{p}")
+            for p in range(16)
+        ],
+    )
+    votes = digits.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    one = F.lit(1).cast("long")
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("id", sig.alias("simhash"))
 
 
 def simhash_pairs(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:

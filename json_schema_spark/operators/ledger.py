@@ -32,7 +32,7 @@ LEDGER_SCHEMA = (
 
 
 def partition_ledger(validated: DataFrame, key_col: str = "row_id",
-                     timed: bool = False) -> DataFrame:
+                     timed: bool = False, part_col: str | None = None) -> DataFrame:
     """``validated`` must carry ``valid: boolean`` and ``violations:
     array<struct<path,keyword,message>>`` (from SparkValidator) plus a
     stable per-row key column.
@@ -42,10 +42,17 @@ def partition_ledger(validated: DataFrame, key_col: str = "row_id",
     codegen, no Arrow transfer); ``timed=True`` switches to the
     ``mapInPandas`` variant that additionally measures per-partition
     wall clock in ``elapsed_ms`` (the metrics-ledger mode; it pays the
-    Arrow round trip for the timing)."""
+    Arrow round trip for the timing).
+
+    ``part_col`` replaces the physical ``spark_partition_id`` with a
+    caller-supplied deterministic bucket column (e.g. ``key % N``) so
+    ledger rows are stable across repartitionings — the resumable-run
+    and oracle-checkable form."""
     if not timed:
+        pid = (F.col(part_col).cast("int") if part_col is not None
+               else F.spark_partition_id())
         slim = validated.select(
-            F.spark_partition_id().alias("partition_id"),
+            pid.alias("partition_id"),
             F.coalesce(F.col("valid"), F.lit(False)).alias("v"),
             F.coalesce(
                 F.transform(
@@ -71,8 +78,10 @@ def partition_ledger(validated: DataFrame, key_col: str = "row_id",
             )
         )
 
+    pid = (F.col(part_col).cast("int") if part_col is not None
+           else F.spark_partition_id())
     slim = validated.select(
-        F.spark_partition_id().alias("pid"),
+        pid.alias("pid"),
         F.col(key_col).cast("string").alias("k"),
         F.col("valid"),
         F.coalesce(

@@ -67,26 +67,42 @@ def image_features(df: DataFrame, decode: str = "fake",
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                meta = r["meta"]
-                px = _decode_image(r["data"], meta, decode)
-                # resize to 8x8 by block averaging (pure numpy)
-                h, w = px.shape
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf["id"].to_numpy()
+            datas = pdf["data"].tolist()
+            metas = pdf["meta"].tolist()
+            widths = np.array([m["width"] for m in metas], dtype=np.int32)
+            heights = np.array([m["height"] for m in metas], dtype=np.int32)
+            n_bytes = np.array([len(d or b"") for d in datas], dtype=np.int32)
+            mean_luma = np.empty(n, dtype=np.float64)
+            phash = np.empty(n, dtype=np.uint64)
+            # decode stays per row (the codec integration point); all
+            # numpy work (block-mean resize, aHash) runs stacked per
+            # same-shape group — the hot path when real decoders land.
+            for wh in {(int(w), int(h)) for w, h in zip(widths, heights)}:
+                w, h = wh
+                idx = np.nonzero((widths == w) & (heights == h))[0]
+                px = np.stack([_decode_image(datas[i], metas[i], decode) for i in idx])
                 bh, bw = max(h // 8, 1), max(w // 8, 1)
-                small = px[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
-                bits = (small > small.mean()).flatten()
-                phash = 0
-                for i, b in enumerate(bits):
-                    if b:
-                        phash |= 1 << i
-                rows.append(
-                    (int(r["id"]), int(meta["width"]), int(meta["height"]),
-                     len(r["data"] or b""), float(px.mean()),
-                     int(np.int64(np.uint64(phash).astype(np.int64))))
+                small = px[:, : bh * 8, : bw * 8].reshape(len(idx), 8, bh, 8, bw).mean(
+                    axis=(2, 4)
                 )
+                bits = (small > small.mean(axis=(1, 2), keepdims=True)).reshape(len(idx), 64)
+                # bits are disjoint powers of two, so the sum IS the OR
+                phash[idx] = (bits.astype(np.uint64)
+                              << np.arange(64, dtype=np.uint64)).sum(axis=1)
+                mean_luma[idx] = px.mean(axis=(1, 2))
             yield pd.DataFrame(
-                rows, columns=["id", "width", "height", "n_bytes", "mean_luma", "phash"]
+                {
+                    "id": ids,
+                    "width": widths,
+                    "height": heights,
+                    "n_bytes": n_bytes,
+                    "mean_luma": mean_luma,
+                    "phash": phash.astype(np.int64),
+                }
             )
 
     return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
@@ -99,14 +115,18 @@ def frame_sample(df: DataFrame, every_n: int = 10, decode: str = "fake") -> Data
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_id, out_frame = [], []
-            for _, r in pdf.iterrows():
-                if decode == "real":
-                    raise NotImplementedError("video codecs not available; use decode='fake'")
-                n_frames = (len(r["data"] or b"") % 97) + 30
-                for fi in range(0, n_frames, every_n):
-                    out_id.append(int(r["id"]))
-                    out_frame.append(fi)
-            yield pd.DataFrame({"id": out_id, "frame_idx": out_frame})
+            if decode == "real":
+                raise NotImplementedError("video codecs not available; use decode='fake'")
+            ids = pdf["id"].to_numpy()
+            n_frames = np.array(
+                [(len(d or b"") % 97) + 30 for d in pdf["data"]], dtype=np.int64
+            )
+            counts = (n_frames + every_n - 1) // every_n  # sampled frames per row
+            out_id = np.repeat(ids, counts)
+            out_frame = (
+                np.arange(counts.sum(), dtype=np.int64)
+                - np.repeat(np.concatenate(([0], counts.cumsum()[:-1])), counts)
+            ) * every_n
+            yield pd.DataFrame({"id": out_id, "frame_idx": out_frame.astype(np.int32)})
 
     return df.mapInPandas(kernel, schema="id long, frame_idx int")

@@ -4,10 +4,11 @@
   set, JVM-side ``zip_with``/``aggregate`` dot products, per-query
   window top-k. The correctness baseline; linear scan of the corpus.
 * :func:`ivf_topk` — IVF-flat scale path: corpus is bucketed by nearest
-  centroid (one shuffle, done once); a query probes only ``n_probe``
-  centroid buckets, so the scan cost drops by ~n_centroids/n_probe.
-  Centroids come from a deterministic one-pass assign-average (k-means
-  single iteration over a hashed seeding) — no external libraries.
+  centroid; a query probes only ``n_probe`` centroid buckets, so the
+  scan cost drops by ~n_centroids/n_probe. Centroids come from
+  :func:`build_ivf` — deterministic mod-seeded k-means (``iters``
+  rounds) whose assignment step is a shuffle-free codegen'd projection
+  against driver-collected centroid literals — no external libraries.
 """
 
 from __future__ import annotations
@@ -50,30 +51,59 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def build_ivf(corpus: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
-              id_col: str = "vec_id", seed: int = 42) -> tuple[DataFrame, DataFrame]:
-    """One-iteration IVF training: deterministic hash-seeded assignment
-    → centroid = mean of bucket → reassign to nearest centroid.
-    Returns (assigned corpus with ``centroid_id``, centroids table)."""
-    seeded = corpus.select(
-        F.col(id_col).alias("item_id"),
-        F.col(vec_col).alias("cv"),
-        F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(n_centroids))
-        .cast("int").alias("seed_bucket"),
+              id_col: str = "vec_id", iters: int = 2) -> tuple[DataFrame, DataFrame]:
+    """IVF training (k-means style) with ZERO corpus shuffles in the
+    assignment step. Per iteration: per-cluster centroid = exact-decimal
+    per-dimension SUM (cosine is scale-invariant, so the sum serves as
+    the mean; decimal summation makes centroids bit-identical across
+    engines and partitionings, where a double mean would inherit
+    accumulation order), collected to the driver (≤ n_centroids × dim
+    doubles — the broadcast-small side); reassignment = one codegen'd
+    projection taking ``greatest`` over unrolled per-centroid dot
+    products against literal centroids — no crossJoin, no window, no
+    Exchange on the corpus (the one shuffle is the n_centroids-row
+    aggregate itself). Ties break to the lowest centroid id.
+
+    Seeding is ``item_id % n_centroids`` (ANSI-SQL-expressible, so the
+    whole build oracles in DuckDB — hash seeding wouldn't).
+    Returns (assigned corpus with ``centroid_id``, centroids table).
+    """
+    import math
+
+    c = corpus.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("cv"))
+    dim = len(c.select("cv").first()["cv"])
+    assigned = c.withColumn(
+        "centroid_id", F.pmod(F.col("item_id"), F.lit(n_centroids)).cast("int")
     )
-    dim = len(seeded.select("cv").first()["cv"])
-    cents = seeded.groupBy("seed_bucket").agg(
-        F.array(*[F.avg(F.col("cv")[i]) for i in range(dim)]).alias("centroid")
-    ).select(F.col("seed_bucket").alias("centroid_id"), "centroid")
-    cents_b = F.broadcast(cents)
-    # reassign each vector to its nearest centroid (one scan, no shuffle
-    # of vectors until the final bucket write)
-    scored = seeded.crossJoin(cents_b).select(
-        "item_id", "cv", "centroid_id", cosine(F.col("cv"), F.col("centroid")).alias("sim")
-    )
-    w = W.partitionBy("item_id").orderBy(F.desc("sim"))
-    assigned = (
-        scored.withColumn("r", F.row_number().over(w)).filter("r = 1")
-        .select("item_id", "cv", "centroid_id")
+    cents_rows: list[tuple[int, list[float]]] = []
+    for _ in range(max(iters, 1)):
+        sums = assigned.groupBy("centroid_id").agg(
+            *[F.sum(F.col("cv")[j].cast("decimal(27,12)")).alias(f"s{j}") for j in range(dim)]
+        ).collect()
+        cents_rows = sorted(
+            (int(r["centroid_id"]), [float(r[f"s{j}"]) for j in range(dim)]) for r in sums
+        )
+        structs = []
+        for cid, vec in cents_rows:
+            norm_sq = 0.0
+            for x in vec:
+                norm_sq += x * x
+            if norm_sq == 0.0:
+                continue  # degenerate/empty cluster: unelectable
+            dot_c = F.col("cv")[0] * F.lit(vec[0])
+            for j in range(1, dim):
+                dot_c = dot_c + F.col("cv")[j] * F.lit(vec[j])
+            structs.append(
+                F.struct(
+                    (dot_c / F.lit(math.sqrt(norm_sq))).alias("s"),
+                    F.lit(-cid).cast("int").alias("nid"),
+                )
+            )
+        best = F.greatest(*structs) if len(structs) > 1 else structs[0]
+        assigned = c.withColumn("centroid_id", (-best["nid"]).cast("int"))
+    cents = corpus.sparkSession.createDataFrame(
+        [(cid, vec) for cid, vec in cents_rows],
+        "centroid_id int, centroid array<double>",
     )
     return assigned, cents
 
@@ -89,7 +119,7 @@ def ivf_topk(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
     qc = q.crossJoin(F.broadcast(centroids)).select(
         "query_id", "qv", "centroid_id", cosine(F.col("qv"), F.col("centroid")).alias("csim")
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("csim"))
+    w = W.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
     probes = qc.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= n_probe) \
         .select("query_id", "qv", "centroid_id")
     scored = F.broadcast(probes).join(assigned, "centroid_id").select(

@@ -98,11 +98,22 @@ class SparkValidator:
             {u: d for u, d in self.registry.docs.items()}, default=float
         )
         self._schema_json = json.dumps(schema, default=float)
-        # cache-key component distinguishing custom format sets (per
-        # worker; keyed by instance identity so redefinitions don't
-        # collide in the executor kernel cache)
-        self._formats_key = (id(self), tuple(sorted(self.custom_formats))) \
-            if self.custom_formats else ()
+        # cache-key component distinguishing custom format sets in the
+        # long-lived executor kernel cache. Keyed by CONTENT (pickled
+        # predicate bytes), not instance identity: id() can be reused
+        # after GC (stale-entry hazard) and needlessly defeats cache
+        # sharing between identical validators.
+        if self.custom_formats:
+            import hashlib
+
+            from pyspark import cloudpickle
+
+            self._formats_key = tuple(
+                (name, hashlib.sha256(cloudpickle.dumps(fn)).hexdigest())
+                for name, fn in sorted(self.custom_formats.items())
+            )
+        else:
+            self._formats_key = ()
 
     # ------------------------------------------------------ JSON mode
 
