@@ -135,6 +135,16 @@ def _q_validate_events_conditional(spark: SparkSession, sf_dir: str) -> DataFram
     return v.apply_json(df, "props", with_violations=False).select("event_id", "valid")
 
 
+def _q_violation_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed error model (EErrorType.java parity): violations bucketed
+    by the error-kind enum via a codegen'd CASE chain."""
+    df = _tp(spark, sf_dir, "documents")
+    v = SparkValidator(DOCS_SCHEMA, dialect="draft7")
+    out = v.apply_table(df, columns=DOCS_COLS)
+    vdf = SparkValidator.violations_df(out, ["doc_id"], with_kinds=True)
+    return vdf.groupBy("error_kind").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def _q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.column_stats(_t(spark, sf_dir, "lineitem"), exact_distinct=True)
 
@@ -310,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_documents_kernel": _q_validate_documents_kernel,
         "validate_events_json": _q_validate_events_json,
         "validate_events_conditional": _q_validate_events_conditional,
+        "violation_kinds_documents": _q_violation_kinds,
         "column_stats_lineitem": _q_column_stats,
         "length_histogram_documents": _q_length_histogram,
         "duplicate_keys_events": _q_duplicate_keys,
@@ -545,6 +556,24 @@ def oracle_sql() -> dict[str, str]:
                           AND CASE WHEN d >= 50 THEN d % 2 = 0 ELSE d % 3 = 0 END, FALSE)
                    END AS valid
             FROM e
+        """,
+        "violation_kinds_documents": """
+            SELECT * FROM (
+              SELECT 'MIN_LENGTH' AS error_kind, count(*)::bigint AS cnt
+                FROM documents WHERE text IS NOT NULL AND length(text) < 60
+              UNION ALL
+              SELECT 'ENUM', count(*)::bigint FROM documents
+                WHERE lang IS NOT NULL AND lang NOT IN ('en','de','es','fr')
+              UNION ALL
+              SELECT 'MAXIMUM', count(*)::bigint FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 400
+              UNION ALL
+              SELECT 'PATTERN', count(*)::bigint FROM documents
+                WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src1?[0-9]$')
+              UNION ALL
+              SELECT 'MINIMUM', count(*)::bigint FROM documents
+                WHERE doc_id IS NOT NULL AND doc_id < 0
+            ) WHERE cnt > 0
         """,
         "column_stats_lineitem": stats_parts,
         "length_histogram_documents": """

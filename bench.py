@@ -42,7 +42,9 @@ HEADLINE = [
     "ks_orders_totalprice",
     "minhash_neardup_documents",
     "ngram_jaccard_documents",
+    "simhash_documents",
     "ann_topk_embeddings",
+    "ivf_topk_embeddings",
     "text_stats_documents",
     "agg_pricing_summary",
 ]

@@ -15,11 +15,50 @@ import json
 import urllib.parse
 from typing import Any, Callable, Optional
 
-__all__ = ["SchemaRegistry", "SchemaResolutionError", "json_pointer_get"]
+__all__ = [
+    "SchemaRegistry",
+    "SchemaResolutionError",
+    "SchemaDialectError",
+    "json_pointer_get",
+]
 
 
 class SchemaResolutionError(Exception):
     pass
+
+
+class SchemaDialectError(Exception):
+    """A schema's meta-schema requires a vocabulary this engine does not
+    implement — compile-time error, mirroring
+    ``dialects/DialectResolver.java:53-79``."""
+
+
+# official vocabulary URIs this engine implements (per dialect
+# generation); a custom meta-schema may require any subset of these.
+_KNOWN_VOCABULARIES = frozenset(
+    f"https://json-schema.org/draft/{gen}/vocab/{name}"
+    for gen, names in (
+        ("2019-09", ("core", "applicator", "validation", "meta-data",
+                     "format", "content")),
+        ("2020-12", ("core", "applicator", "validation", "meta-data",
+                     "unevaluated", "content", "format-annotation",
+                     "format-assertion")),
+    )
+    for name in names
+)
+
+_FORMAT_ASSERTION_VOCAB = "https://json-schema.org/draft/2020-12/vocab/format-assertion"
+
+# exact-match official meta-schema URIs -> dialect. Matching must be
+# exact, not substring: suite fixtures use custom meta URIs like
+# ".../draft2020-12/format-assertion-false.json" that embed the draft
+# name but carry their own $vocabulary.
+_OFFICIAL_DIALECTS: dict[str, str] = {}
+for _scheme in ("http", "https"):
+    _OFFICIAL_DIALECTS[f"{_scheme}://json-schema.org/draft/2020-12/schema"] = "2020-12"
+    _OFFICIAL_DIALECTS[f"{_scheme}://json-schema.org/draft/2019-09/schema"] = "2019-09"
+    for _d in ("draft-07", "draft-06", "draft-04"):
+        _OFFICIAL_DIALECTS[f"{_scheme}://json-schema.org/{_d}/schema"] = "draft7"
 
 
 # keywords whose value is a schema / container of schemas, for the scan
@@ -88,7 +127,10 @@ class SchemaRegistry:
     """
 
     def __init__(self, default_dialect: str = "draft7",
-                 loader: Optional[Callable[[str], Any]] = None):
+                 loader: Optional[Callable[[str], Any]] = None,
+                 loaders: Optional[dict[str, Callable[[str], Any]]] = None):
+        from ..sources.loaders import ResourceLoaderChain
+
         self.default_dialect = default_dialect
         self.docs: dict[str, Any] = {}  # resource uri -> schema node
         self.anchors: dict[tuple[str, str], Any] = {}
@@ -96,8 +138,15 @@ class SchemaRegistry:
         self.recursive_roots: set[str] = set()  # resources w/ $recursiveAnchor:true at root
         self._base_by_nodeid: dict[int, str] = {}
         self._dialect_by_nodeid: dict[int, str] = {}
+        self._fa_by_nodeid: dict[int, bool] = {}  # format-assertion vocab enabled
         self._keepalive: list[Any] = []  # hold scanned docs so id() stays valid
-        self.loader = loader  # optional uri -> parsed schema (driver-only I/O)
+        self.loader = loader  # legacy catch-all uri -> parsed schema
+        # scheme-dispatched chain: catch-all > user per-scheme > built-in
+        # file/http(s) > embedded official meta-schemas
+        # (BaseResourceLoader.java:22-60 + OriginalSpecResolver appended
+        # last, SchemaBuilder.java:358-360). Driver-only I/O.
+        self.loader_chain = ResourceLoaderChain(loaders, catch_all=loader)
+        self._meta_cache: dict[str, Optional[tuple[str, bool]]] = {}
         self._synthetic = 0
 
     # ------------------------------------------------------------ scan
@@ -123,23 +172,86 @@ class SchemaRegistry:
         return root_uri
 
     def _dialect_of(self, schema: Any) -> Optional[str]:
+        info = self._dialect_info(schema)
+        return info[0] if info else None
+
+    def _dialect_info(self, schema: Any) -> Optional[tuple[str, bool]]:
+        """(dialect, format_assertions_enabled) declared by a node's
+        ``$schema``, resolving custom meta-schemas through the loader
+        chain and enforcing their ``$vocabulary``. None when the node
+        declares nothing (inherit from the enclosing resource)."""
         if not isinstance(schema, dict):
             return None
         s = schema.get("$schema")
         if not isinstance(s, str):
             return None
+        key = _strip_fragment(s)
+        official = _OFFICIAL_DIALECTS.get(key)
+        if official is not None:
+            return official, False
+        info = self._custom_meta_info(key)
+        if info is not None:
+            return info
+        # unresolvable custom meta: fall back to the generation named in
+        # the URI (lenient — the reference would have fetched it)
         if "2020-12" in s:
-            return "2020-12"
+            return "2020-12", False
         if "2019-09" in s:
-            return "2019-09"
+            return "2019-09", False
         if "draft-07" in s or "draft-06" in s or "draft-04" in s:
-            return "draft7"
+            return "draft7", False
         return None
 
-    def _scan(self, node: Any, base: str, dialect: str) -> None:
+    def _custom_meta_info(self, uri: str) -> Optional[tuple[str, bool]]:
+        """Resolve a custom meta-schema: derive the base dialect from its
+        vocabulary generation (or its own ``$schema``), enable format
+        assertions when it declares the format-assertion vocabulary, and
+        raise :class:`SchemaDialectError` for unknown REQUIRED
+        vocabularies (``DialectResolver.java:53-79``)."""
+        if uri in self._meta_cache:
+            return self._meta_cache[uri]
+        self._meta_cache[uri] = None  # cycle guard for self-referential metas
+        doc = self.docs.get(uri)
+        if doc is None:
+            doc = self.loader_chain(uri)
+        info: Optional[tuple[str, bool]] = None
+        if isinstance(doc, dict):
+            vocab = doc.get("$vocabulary")
+            fa = False
+            dialect: Optional[str] = None
+            if isinstance(vocab, dict):
+                for vuri, required in vocab.items():
+                    if vuri == _FORMAT_ASSERTION_VOCAB:
+                        # declaring the vocabulary at all means the
+                        # dialect performs format assertion
+                        fa = True
+                    elif vuri not in _KNOWN_VOCABULARIES and required:
+                        raise SchemaDialectError(
+                            f"meta-schema {uri!r} requires unknown vocabulary {vuri!r}"
+                        )
+                gens = [v for v in vocab if isinstance(v, str)]
+                if any("/draft/2020-12/" in v for v in gens):
+                    dialect = "2020-12"
+                elif any("/draft/2019-09/" in v for v in gens):
+                    dialect = "2019-09"
+            if dialect is None:
+                parent = self._dialect_info(doc)
+                dialect = parent[0] if parent else None
+            info = (dialect or self.default_dialect, fa)
+        self._meta_cache[uri] = info
+        return info
+
+    def format_assertion_of(self, node: Any) -> bool:
+        """True when the node's governing meta-schema declares the
+        format-assertion vocabulary (2020-12 custom dialects)."""
+        return self._fa_by_nodeid.get(id(node), False)
+
+    def _scan(self, node: Any, base: str, dialect: str, fa: bool = False) -> None:
         if isinstance(node, bool) or not isinstance(node, dict):
             return
-        dialect = self._dialect_of(node) or dialect
+        info = self._dialect_info(node)
+        if info is not None:
+            dialect, fa = info
         nid = node.get("$id") if isinstance(node.get("$id"), str) else None
         if nid is None and dialect == "draft7" and isinstance(node.get("id"), str):
             nid = node["id"]
@@ -157,6 +269,8 @@ class SchemaRegistry:
                     self.anchors[(base, frag)] = node
         self._base_by_nodeid[id(node)] = base
         self._dialect_by_nodeid[id(node)] = dialect
+        if fa:
+            self._fa_by_nodeid[id(node)] = True
 
         anch = node.get("$anchor")
         if isinstance(anch, str):
@@ -172,26 +286,26 @@ class SchemaRegistry:
             sub = node.get(kw)
             if isinstance(sub, dict):
                 for v in sub.values():
-                    self._scan(v, base, dialect)
+                    self._scan(v, base, dialect, fa)
         for kw in _LIST_OF_SCHEMAS:
             sub = node.get(kw)
             if isinstance(sub, list):
                 for v in sub:
-                    self._scan(v, base, dialect)
+                    self._scan(v, base, dialect, fa)
         for kw in _SINGLE_SCHEMA:
             if kw in node:
-                self._scan(node[kw], base, dialect)
+                self._scan(node[kw], base, dialect, fa)
         items = node.get("items")
         if isinstance(items, list):
             for v in items:
-                self._scan(v, base, dialect)
+                self._scan(v, base, dialect, fa)
         elif items is not None:
             self._scan(items, base, dialect)
         deps = node.get("dependencies")
         if isinstance(deps, dict):
             for v in deps.values():
                 if isinstance(v, (dict, bool)):
-                    self._scan(v, base, dialect)
+                    self._scan(v, base, dialect, fa)
 
     # --------------------------------------------------------- resolve
 
@@ -207,10 +321,13 @@ class SchemaRegistry:
         doc_uri, _, fragment = target.partition("#")
         doc_uri = doc_uri or base.split("#", 1)[0]
         doc = self.docs.get(doc_uri)
-        if doc is None and self.loader is not None:
-            loaded = self.loader(doc_uri)
+        if doc is None:
+            loaded = self.loader_chain(doc_uri)
             if loaded is not None:
                 self.add(loaded, doc_uri)
+                # keep the request URI addressable even when the loaded
+                # document declares a different canonical $id
+                self.docs.setdefault(doc_uri, loaded)
                 doc = self.docs.get(doc_uri)
         if doc is None:
             # the ref may target an anchor in an already-known resource

@@ -60,6 +60,11 @@ class CompileConfig:
     content_mode: str = content_mod.DEFAULT
     collect_errors: bool = True
     custom_formats: dict[str, Callable[[str], bool]] = field(default_factory=dict)
+    # experimental: interpret non-array values as single-element arrays
+    # where the schema wants an array (SchemaBuilder.setTryCastToArray,
+    # SchemaBuilder.java:159-166; TypeCompiler.java:96-103,
+    # Items2020CompilerFactory.java:100-130)
+    treat_as_array: bool = False
 
     def content_level(self, dialect: str) -> str:
         if self.content_mode == content_mod.DEFAULT:
@@ -207,7 +212,9 @@ class _Compiler:
         if "minLength" in node or "maxLength" in node:
             add(self._kw_length(node.get("minLength"), node.get("maxLength")))
         if "format" in node:
-            fv = self._kw_format(node["format"])
+            fv = self._kw_format(
+                node["format"], self.registry.format_assertion_of(node)
+            )
             if fv is not None:
                 add(fv)
         level = self.config.content_level(dialect)
@@ -393,9 +400,11 @@ class _Compiler:
         for t in types:
             if t not in ("null", "boolean", "string", "number", "integer", "array", "object"):
                 raise SchemaCompileError(f"unknown type {t!r}")
+        # treat-as-array: "array" accepts any node (TypeCompiler.java:96-103)
+        taa = self.config.treat_as_array and "array" in types
 
         def kv(inst, path, scope, ann, errors):
-            if any(type_matches(inst, t) for t in types):
+            if taa or any(type_matches(inst, t) for t in types):
                 return True
             self._err(errors, path, "type", f"expected {'/'.join(types)}")
             return False
@@ -505,9 +514,11 @@ class _Compiler:
 
         return kv
 
-    def _kw_format(self, name: str) -> Optional[Callable]:
+    def _kw_format(self, name: str, node_assert: bool = False) -> Optional[Callable]:
         fn = self.config.custom_formats.get(name)
-        assert_on = self.config.format_assertions or fn is not None
+        # node_assert: the node's meta-schema declares the 2020-12
+        # format-assertion vocabulary (Dialect.java:45-49 switch)
+        assert_on = self.config.format_assertions or node_assert or fn is not None
         if not assert_on:
             return None
         fn = fn or FORMAT_VALIDATORS.get(name)
@@ -709,10 +720,15 @@ class _Compiler:
         prefix_subs = [self._sub(s) for s in (prefix or [])]
         items_sub = self._sub(items) if items is not None else None
         np = len(prefix_subs)
+        taa = self.config.treat_as_array
 
         def kv(inst, path, scope, ann, errors):
             if not isinstance(inst, list):
-                return True
+                if not taa:
+                    return True
+                # wrap as a one-element array (ToArrayWrapper.tryWrap,
+                # Items2020CompilerFactory.java:100-130)
+                inst = [inst]
             ok = True
             for i, sub in enumerate(prefix_subs):
                 if i >= len(inst):

@@ -90,11 +90,21 @@ def violations_array(checks: list[Check]) -> Column:
 _SCALAR = ("string", "number", "integer", "boolean", "null")
 
 _UNSUPPORTED_KEYWORDS = (
-    "unevaluatedProperties",
-    "unevaluatedItems",
     "$recursiveRef",
     "$dynamicRef",
     "contentSchema",
+)
+
+# keywords whose annotations depend on which branch succeeded at
+# runtime — in their presence the evaluated-property/item set is not
+# statically derivable and unevaluated* falls back to the UDF kernel
+_DYNAMIC_ANNOTATION_KEYWORDS = (
+    "anyOf",
+    "oneOf",
+    "if",
+    "dependentSchemas",
+    "$dynamicRef",
+    "$recursiveRef",
 )
 
 
@@ -171,8 +181,23 @@ class _BaseCompiler:
                 self._ref_stack.pop()
             if self.dialect == "draft7":
                 return ref_checks  # $ref replaces siblings (RefCompiler.java:50-66)
-            rest = {k: v for k, v in node.items() if k != "$ref"}
-            return ref_checks + self.compile(rest if rest else True, val, path)
+            rest = {k: v for k, v in node.items()
+                    if k not in ("$ref", "unevaluatedProperties", "unevaluatedItems")}
+            out = ref_checks + self.compile(rest if rest else True, val, path)
+            # unevaluated* sibling of $ref: the ref target contributes
+            # annotations, so coverage must be computed from the
+            # ORIGINAL node (the stripped copy has lost the $ref)
+            if "unevaluatedProperties" in node:
+                names, pats, all_p = self._static_prop_coverage(node, set(), top=True)
+                if not all_p:
+                    out += self._c_unevaluated_props(
+                        node["unevaluatedProperties"], names, pats, val, path)
+            if "unevaluatedItems" in node:
+                n_cov, all_i = self._static_item_coverage(node, set(), top=True)
+                if not all_i:
+                    out += self._c_unevaluated_items(
+                        node["unevaluatedItems"], n_cov, val, path)
+            return out
 
         self._guard_keywords(node)
         checks: list[Check] = []
@@ -273,7 +298,113 @@ class _BaseCompiler:
                 sub_ok = ok_of(self.compile(d, val, path))
                 checks.append(Check(_nn(trigger & ~sub_ok), p, "dependentSchemas",
                                     f"schema dependency on {k!r} failed"))
+
+        # unevaluated* — only the statically-resolvable shapes (SURVEY §7
+        # "What's hard"): when every in-place applicator is properties /
+        # patternProperties / additionalProperties / allOf / $ref, the
+        # evaluated set is known at compile time and the keyword reduces
+        # to a set-difference expression (UnevaluatedPropertiesCompiler
+        # semantics without runtime annotations). Branch-dependent cases
+        # raise ExprUnsupported → kernel fallback.
+        if "unevaluatedProperties" in node:
+            names, pats, all_p = self._static_prop_coverage(node, set(), top=True)
+            if not all_p:
+                checks.extend(self._c_unevaluated_props(
+                    node["unevaluatedProperties"], names, pats, val, path))
+        if "unevaluatedItems" in node:
+            n_cov, all_i = self._static_item_coverage(node, set(), top=True)
+            if not all_i:
+                checks.extend(self._c_unevaluated_items(
+                    node["unevaluatedItems"], n_cov, val, path))
         return checks
+
+    # -- static annotation resolution for unevaluated* -----------------
+
+    def _coverage_guard(self, node: dict) -> None:
+        for kw in _DYNAMIC_ANNOTATION_KEYWORDS:
+            if kw in node:
+                raise ExprUnsupported(
+                    f"unevaluated* with branch-dependent {kw!r} needs the UDF kernel"
+                )
+        deps = node.get("dependencies")
+        if isinstance(deps, dict) and any(
+            isinstance(v, (dict, bool)) for v in deps.values()
+        ):
+            raise ExprUnsupported(
+                "unevaluated* with schema-form dependencies needs the UDF kernel"
+            )
+
+    def _resolve_allof_refs(self, node: dict, seen: set):
+        """Yield the in-place subschemas contributing annotations:
+        allOf members and the $ref target (cycle-guarded)."""
+        for s in node.get("allOf") or []:
+            yield s
+        if "$ref" in node:
+            target = self.registry.resolve_ref(
+                node["$ref"], self.registry.base_of(node))
+            if id(target) in seen:
+                raise ExprUnsupported("recursive $ref under unevaluated*")
+            seen.add(id(target))
+            yield target
+
+    def _static_prop_coverage(self, node: Any, seen: set,
+                              top: bool = False) -> tuple[set, list, bool]:
+        """(property names, patterns, covers_everything) statically
+        evaluated by this schema when it succeeds. Verdict-safe: if a
+        contributing applicator fails, the whole schema fails and the
+        unevaluatedProperties outcome is irrelevant."""
+        if not isinstance(node, dict):
+            return set(), [], False
+        self._coverage_guard(node)
+        names = set((node.get("properties") or {}).keys())
+        pats = list((node.get("patternProperties") or {}).keys())
+        # additionalProperties evaluates every remaining property; a
+        # nested unevaluatedProperties (in a branch) does too. The
+        # node's OWN unevaluatedProperties keyword is the one being
+        # compiled — it doesn't cover itself.
+        all_ = "additionalProperties" in node or (
+            not top and "unevaluatedProperties" in node
+        )
+        for s in self._resolve_allof_refs(node, seen):
+            n2, p2, a2 = self._static_prop_coverage(s, seen)
+            names |= n2
+            pats += p2
+            all_ = all_ or a2
+        return names, pats, all_
+
+    def _static_item_coverage(self, node: Any, seen: set,
+                              top: bool = False) -> tuple[int, bool]:
+        """(covered prefix length, covers_everything) for array items."""
+        if not isinstance(node, dict):
+            return 0, False
+        self._coverage_guard(node)
+        if "contains" in node:
+            # 2020-12 contains annotates matched indices at runtime
+            raise ExprUnsupported("unevaluatedItems with contains needs the UDF kernel")
+        items = node.get("items")
+        count = 0
+        all_ = not top and "unevaluatedItems" in node
+        if self.dialect == "2020-12":
+            count = len(node.get("prefixItems") or [])
+            if items is not None:
+                all_ = True
+        elif isinstance(items, list):
+            count = len(items)
+            if "additionalItems" in node:
+                all_ = True
+        elif items is not None:
+            all_ = True
+        for s in self._resolve_allof_refs(node, seen):
+            c2, a2 = self._static_item_coverage(s, seen)
+            count = max(count, c2)
+            all_ = all_ or a2
+        return count, all_
+
+    def _c_unevaluated_props(self, sub, names: set, pats: list, val,
+                             path: tuple) -> list[Check]: ...
+
+    def _c_unevaluated_items(self, sub, covered: int, val,
+                             path: tuple) -> list[Check]: ...
 
     def _c_enum(self, members: list, val, p: str, kw: str) -> Check:
         conds = []
@@ -501,6 +632,46 @@ class VariantCompiler(_BaseCompiler):
             checks.append(Check(_nn(is_arr & (F.size(F.array_distinct(canon)) != F.size(arr))),
                                 p, "uniqueItems", "duplicate items"))
         return checks
+
+    def _c_unevaluated_props(self, sub, names: set, pats: list, v, path) -> list[Check]:
+        p = self._ptr(path)
+        is_obj = self.v_type_is(v, "object")
+        m = self._as_map(v)
+        rxs = [self._regex(rx) for rx in pats]
+        names_l = sorted(names)
+
+        def is_uneval(k):
+            cond = F.lit(True)
+            if names_l:
+                cond = cond & ~k.isin(names_l)
+            for rx in rxs:
+                cond = cond & ~_nn(k.rlike(rx))
+            return cond
+
+        extra = F.filter(F.map_keys(m), is_uneval)
+        if sub is False:
+            return [Check(_nn(is_obj & (F.size(extra) > 0)), p, "unevaluatedProperties",
+                          "unevaluated properties present")]
+        if sub is True or sub == {}:
+            return []
+        sub_ok = self._value_pred(sub, path)
+        all_ok = F.forall(extra, lambda k: sub_ok(F.element_at(m, k)))
+        return [Check(_nn(is_obj & ~_nn(all_ok)), p, "unevaluatedProperties",
+                      "an unevaluated property is invalid")]
+
+    def _c_unevaluated_items(self, sub, covered: int, v, path) -> list[Check]:
+        p = self._ptr(path)
+        is_arr = self.v_type_is(v, "array")
+        arr = self._as_array(v)
+        if sub is False:
+            return [Check(_nn(is_arr & (F.size(arr) > covered)), p, "unevaluatedItems",
+                          f"unevaluated items beyond index {covered - 1}")]
+        if sub is True or sub == {}:
+            return []
+        tail = F.slice(arr, covered + 1, F.greatest(F.size(arr) - covered, F.lit(0)))
+        sub_ok = self._value_pred(sub, path)
+        return [Check(_nn(is_arr & ~_nn(F.forall(tail, sub_ok))), p, "unevaluatedItems",
+                      "an unevaluated item is invalid")]
 
     def _value_pred(self, sub: Any, path: tuple) -> Callable[[Column], Column]:
         """Subschema as a reusable predicate fn(variant) -> ok Column,
@@ -754,3 +925,48 @@ class TypedRowCompiler(_BaseCompiler):
             checks.append(Check(_nn(is_arr & (F.size(F.array_distinct(canon)) != F.size(col))),
                                 p, "uniqueItems", "duplicate items"))
         return checks
+
+    def _c_unevaluated_props(self, sub, names: set, pats: list, val, path) -> list[Check]:
+        col, dt, fields = val
+        p = self._ptr(path)
+        if fields is not None:
+            field_names = list(fields.keys())
+        elif isinstance(dt, T.StructType):
+            field_names = [f.name for f in dt.fields]
+        elif isinstance(dt, T.MapType):
+            raise ExprUnsupported("unevaluatedProperties on map columns needs the UDF kernel")
+        else:
+            return []  # non-object: keyword no-ops
+        rxs = [re.compile(self._regex(r)) for r in pats]
+        leftovers = [n for n in field_names
+                     if n not in names and not any(r.search(n) for r in rxs)]
+        checks: list[Check] = []
+        for n in leftovers:
+            child = self._field(val, n)
+            if sub is False:
+                checks.append(Check(_nn(self.v_present(val) & self.v_present(child)),
+                                    p, "unevaluatedProperties",
+                                    f"unevaluated property {n!r} present"))
+            elif sub is not True and sub != {}:
+                checks.extend(self.compile(sub, child, path + (n,)))
+        return checks
+
+    def _c_unevaluated_items(self, sub, covered: int, val, path) -> list[Check]:
+        col, dt, fields = val
+        if fields is not None or not isinstance(dt, T.ArrayType):
+            return []
+        p = self._ptr(path)
+        et = dt.elementType
+        is_arr = self.v_present(val)
+        if sub is False:
+            return [Check(_nn(is_arr & (F.size(col) > covered)), p, "unevaluatedItems",
+                          f"unevaluated items beyond index {covered - 1}")]
+        if sub is True or sub == {}:
+            return []
+        tail = F.slice(col, covered + 1, F.greatest(F.size(col) - covered, F.lit(0)))
+
+        def pred(el: Column) -> Column:
+            return ok_of(self.compile(sub, (el, et, None), path))
+
+        return [Check(_nn(is_arr & ~_nn(F.forall(tail, pred))), p, "unevaluatedItems",
+                      "an unevaluated item is invalid")]

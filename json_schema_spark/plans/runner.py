@@ -42,7 +42,8 @@ _KERNEL_CACHE: dict[tuple, CompiledSchema] = {}
 
 def _executor_kernel(key: tuple, schema_json: str, docs_json: str, dialect: str,
                      fmt: bool, content_mode: str, collect: bool,
-                     custom_formats: Optional[dict] = None) -> CompiledSchema:
+                     custom_formats: Optional[dict] = None,
+                     treat_as_array: bool = False) -> CompiledSchema:
     k = _KERNEL_CACHE.get(key)
     if k is None:
         reg = SchemaRegistry(default_dialect=dialect)
@@ -51,7 +52,8 @@ def _executor_kernel(key: tuple, schema_json: str, docs_json: str, dialect: str,
                 reg.add(doc, uri)
         cfg = CompileConfig(dialect=dialect, format_assertions=fmt,
                             content_mode=content_mode, collect_errors=collect,
-                            custom_formats=custom_formats or {})
+                            custom_formats=custom_formats or {},
+                            treat_as_array=treat_as_array)
         k = compile_schema(json.loads(schema_json), registry=reg, config=cfg)
         _KERNEL_CACHE[key] = k
     return k
@@ -74,6 +76,7 @@ class SparkValidator:
         registry: Optional[SchemaRegistry] = None,
         engine: str = "auto",  # auto | expr | udf
         custom_formats: Optional[dict] = None,  # name -> Callable[[str], bool]
+        treat_as_array: bool = False,  # experimental setTryCastToArray analogue
     ):
         if isinstance(schema, str):
             schema = json.loads(schema)
@@ -87,11 +90,17 @@ class SparkValidator:
             format_assertions=format_assertions,
             content_mode=content_mode,
             custom_formats=self.custom_formats,
+            treat_as_array=treat_as_array,
         )
         self.registry = registry or SchemaRegistry(default_dialect=self.config.dialect)
         self.root_uri = self.registry.add(schema)
         self.dialect = self.registry.dialect_of_node(schema) if isinstance(schema, dict) else self.config.dialect
         self.config.dialect = self.dialect
+        # a custom meta-schema declaring the format-assertion vocabulary
+        # turns assertions on engine-wide (covers the expression path;
+        # the kernel additionally honors it per node)
+        if isinstance(schema, dict) and self.registry.format_assertion_of(schema):
+            self.config.format_assertions = True
         # driver-side kernel (differential oracle + local validation)
         self.kernel = compile_schema(schema, registry=self.registry, config=self.config)
         self._docs_json = json.dumps(
@@ -137,21 +146,23 @@ class SparkValidator:
         """
         if self.engine == "udf":
             raise ExprUnsupported("engine forced to udf")
+        if self.config.treat_as_array:
+            raise ExprUnsupported("treat_as_array needs the UDF kernel")
         _, checks = self._expr_checks_json(doc)
         return ok_of(checks), violations_array(checks)
 
     def _udf_result(self) -> "F.pandas_udf":
         key = (self._schema_json, self._docs_json, self.dialect,
                self.config.format_assertions, self.config.content_mode, True,
-               self._formats_key)
+               self._formats_key, self.config.treat_as_array)
         schema_json, docs_json, dialect = self._schema_json, self._docs_json, self.dialect
         fmt, cmode = self.config.format_assertions, self.config.content_mode
-        customs = self.custom_formats
+        customs, taa = self.custom_formats, self.config.treat_as_array
 
         @F.pandas_udf(_RESULT_SCHEMA)
         def validate_batch(docs: pd.Series) -> pd.DataFrame:
             kernel = _executor_kernel(key, schema_json, docs_json, dialect, fmt, cmode, True,
-                                      customs)
+                                      customs, taa)
             valids, viols = [], []
             for doc in docs:
                 if doc is None:
@@ -172,15 +183,15 @@ class SparkValidator:
         materialization, mirrors the kernel's non-collecting path)."""
         key = (self._schema_json, self._docs_json, self.dialect,
                self.config.format_assertions, self.config.content_mode, False,
-               self._formats_key)
+               self._formats_key, self.config.treat_as_array)
         schema_json, docs_json, dialect = self._schema_json, self._docs_json, self.dialect
         fmt, cmode = self.config.format_assertions, self.config.content_mode
-        customs = self.custom_formats
+        customs, taa = self.custom_formats, self.config.treat_as_array
 
         @F.pandas_udf("boolean")
         def valid_batch(docs: pd.Series) -> pd.Series:
             kernel = _executor_kernel(key, schema_json, docs_json, dialect, fmt, cmode, False,
-                                      customs)
+                                      customs, taa)
             f = kernel.is_valid_json
             return docs.map(lambda d: None if d is None else f(d))
 
@@ -198,7 +209,7 @@ class SparkValidator:
         so for large documents that multiplies the dominant parse cost.
         """
         doc = F.col(doc_col)
-        if self.engine in ("auto", "expr"):
+        if self.engine in ("auto", "expr") and not self.config.treat_as_array:
             try:
                 comp = VariantCompiler(
                     self.registry,
@@ -261,14 +272,24 @@ class SparkValidator:
     # ------------------------------------------------------- results
 
     @staticmethod
-    def violations_df(validated: DataFrame, id_cols: Iterable[str] = ()) -> DataFrame:
+    def violations_df(validated: DataFrame, id_cols: Iterable[str] = (),
+                      with_kinds: bool = False) -> DataFrame:
         """Explode per-row violations into a violations DataFrame
-        (result-tree sink analogue — ValidationResultFactory.java:240-262)."""
+        (result-tree sink analogue — ValidationResultFactory.java:240-262).
+
+        ``with_kinds=True`` adds an ``error_kind`` column with the typed
+        error enum (``results/EErrorType.java:3-34`` parity) for
+        programmatic error matching — a codegen'd CASE chain, no UDF."""
         cols = [F.col(c) for c in id_cols]
-        return (
+        out = (
             validated.filter(~F.col("valid"))
             .select(*cols, F.explode("violations").alias("v"))
             .select(*cols, F.col("v.path").alias("json_path"),
                     F.col("v.keyword").alias("keyword"),
                     F.col("v.message").alias("message"))
         )
+        if with_kinds:
+            from ..core.errors import error_kind_col
+
+            out = out.withColumn("error_kind", error_kind_col(F.col("keyword")))
+        return out

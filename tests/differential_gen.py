@@ -1,0 +1,177 @@
+"""Deterministic random JSON-Schema + instance generator for the
+cross-implementation differential suite (kernel vs the independent
+``jsonschema`` library).
+
+The value pools are shared between schema and instance generation so
+random instances actually collide with enum/const/properties/pattern
+constraints instead of trivially missing them.
+
+Deliberately NOT generated (documented engine-vs-library divergences,
+both sides of which are spec-defensible — our side follows the
+reference implementation):
+
+* ``format`` — assertion is off by default in both, but keep it out of
+  the comparison entirely;
+* ``contentEncoding``/``contentMediaType``/``contentSchema`` — the
+  reference asserts them by default in draft-7
+  (``ContentTypesCompilerFactory.java:56-64``); the ``jsonschema``
+  library never asserts them;
+* non-integer ``multipleOf`` — the reference (and this engine) use
+  exact decimal arithmetic (``MultipleOfCompiler.java:36-43``), the
+  library uses binary floats (0.07 is an exact multiple of 0.01 in
+  decimal, not in float).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any
+
+KEYS = ["a", "b", "c", "k"]
+STRS = ["", "x", "ab", "abc", "hello world", "Zz9", "aXa"]
+NUMS = [0, 1, -1, 2, 3, 5, 10, 100, 1.0, 2.5, -0.5]
+PATTERNS = ["^a", "b$", "[0-9]+", "^[a-z]{2,4}$", "c", "^Z"]
+SCALARS: list[Any] = [None, True, False, *NUMS, *STRS]
+TYPES = ["null", "boolean", "integer", "number", "string", "array", "object"]
+
+
+def value(rng: random.Random, depth: int = 2) -> Any:
+    r = rng.random()
+    if depth == 0 or r < 0.5:
+        return rng.choice(SCALARS)
+    if r < 0.78:
+        return [value(rng, depth - 1) for _ in range(rng.randrange(0, 4))]
+    return {k: value(rng, depth - 1)
+            for k in rng.sample(KEYS, rng.randrange(0, len(KEYS)))}
+
+
+def _scalar_schema(rng: random.Random) -> dict:
+    s: dict = {}
+    if rng.random() < 0.6:
+        t = rng.sample(TYPES, rng.choice([1, 1, 1, 2]))
+        s["type"] = t[0] if len(t) == 1 else t
+    picks = rng.sample(
+        ["enum", "const", "bounds", "multipleOf", "pattern", "length"],
+        rng.randrange(0, 3),
+    )
+    if "enum" in picks:
+        s["enum"] = rng.sample(SCALARS, rng.randrange(1, 4))
+    if "const" in picks:
+        s["const"] = rng.choice(SCALARS)
+    if "bounds" in picks:
+        lo, hi = sorted(rng.sample(NUMS, 2))
+        s[rng.choice(["minimum", "exclusiveMinimum"])] = lo
+        s[rng.choice(["maximum", "exclusiveMaximum"])] = hi
+    if "multipleOf" in picks:
+        s["multipleOf"] = rng.choice([1, 2, 3, 5])
+    if "pattern" in picks:
+        s["pattern"] = rng.choice(PATTERNS)
+    if "length" in picks:
+        s["minLength"] = rng.randrange(0, 3)
+        s["maxLength"] = rng.randrange(3, 9)
+    return s
+
+
+def _object_schema(rng: random.Random, draft: str, depth: int) -> dict:
+    s: dict = {}
+    props = rng.sample(KEYS, rng.randrange(1, 4))
+    s["properties"] = {k: schema(rng, draft, depth - 1) for k in props}
+    if rng.random() < 0.5:
+        s["required"] = rng.sample(props, rng.randrange(0, len(props) + 1))
+    r = rng.random()
+    if r < 0.25:
+        s["additionalProperties"] = rng.choice([True, False])
+    elif r < 0.4:
+        s["additionalProperties"] = schema(rng, draft, depth - 1)
+    if rng.random() < 0.25:
+        s["patternProperties"] = {rng.choice(PATTERNS): schema(rng, draft, depth - 1)}
+    if rng.random() < 0.2:
+        s["minProperties"] = rng.randrange(0, 3)
+    if rng.random() < 0.2:
+        dep_on, dep_need = rng.choice(KEYS), [rng.choice(KEYS)]
+        if draft == "draft7":
+            s["dependencies"] = {dep_on: dep_need}
+        else:
+            s["dependentRequired"] = {dep_on: dep_need}
+    if rng.random() < 0.15:
+        s["propertyNames"] = {"pattern": rng.choice(PATTERNS)}
+    return s
+
+
+def _array_schema(rng: random.Random, draft: str, depth: int) -> dict:
+    s: dict = {}
+    r = rng.random()
+    if draft == "2020-12":
+        if r < 0.4:
+            s["prefixItems"] = [schema(rng, draft, depth - 1)
+                                for _ in range(rng.randrange(1, 3))]
+        if rng.random() < 0.6:
+            s["items"] = schema(rng, draft, depth - 1)
+    else:
+        if r < 0.4:
+            s["items"] = [schema(rng, draft, depth - 1)
+                          for _ in range(rng.randrange(1, 3))]
+            if rng.random() < 0.5:
+                s["additionalItems"] = schema(rng, draft, depth - 1)
+        elif r < 0.8:
+            s["items"] = schema(rng, draft, depth - 1)
+    if rng.random() < 0.3:
+        s["contains"] = schema(rng, draft, depth - 1)
+        if draft != "draft7" and rng.random() < 0.5:
+            s["minContains"] = rng.randrange(0, 3)
+            s["maxContains"] = rng.randrange(2, 5)
+    if rng.random() < 0.3:
+        s["minItems"] = rng.randrange(0, 3)
+    if rng.random() < 0.2:
+        s["maxItems"] = rng.randrange(2, 6)
+    if rng.random() < 0.25:
+        s["uniqueItems"] = True
+    return s
+
+
+def schema(rng: random.Random, draft: str, depth: int = 3, top: bool = False) -> Any:
+    """One random schema; ``draft`` in {draft7, 2019-09, 2020-12}.
+
+    ``top`` marks the document root: the ``$ref``-into-definitions
+    construct is only emitted there (a fragment pointer like
+    ``#/definitions/d0`` resolves against the resource root, so a
+    nested copy would dangle — both implementations reject it)."""
+    if depth <= 0:
+        return rng.choice([True, False, _scalar_schema(rng)])
+    r = rng.random()
+    if r < 0.30:
+        return _scalar_schema(rng)
+    if r < 0.48:
+        return _object_schema(rng, draft, depth)
+    if r < 0.62:
+        return _array_schema(rng, draft, depth)
+    if r < 0.74:  # combinators
+        kw = rng.choice(["allOf", "anyOf", "oneOf", "not"])
+        if kw == "not":
+            return {"not": schema(rng, draft, depth - 1)}
+        return {kw: [schema(rng, draft, depth - 1)
+                     for _ in range(rng.randrange(2, 4))]}
+    if r < 0.82:  # conditionals
+        s = {"if": schema(rng, draft, depth - 1)}
+        if rng.random() < 0.8:
+            s["then"] = schema(rng, draft, depth - 1)
+        if rng.random() < 0.6:
+            s["else"] = schema(rng, draft, depth - 1)
+        return s
+    if r < 0.92 and top:  # $ref into the root definitions container
+        container = "definitions" if draft == "draft7" else "$defs"
+        s = {
+            container: {"d0": schema(rng, draft, depth - 1)},
+            "$ref": f"#/{container}/d0",
+        }
+        if draft != "draft7" and rng.random() < 0.5:
+            # post-draft-7: $ref siblings apply
+            s.update(_scalar_schema(rng))
+        return s
+    if r >= 0.92 and draft != "draft7":  # unevaluatedProperties interaction
+        return {
+            "allOf": [_object_schema(rng, draft, depth - 1)],
+            "unevaluatedProperties":
+                rng.choice([False, schema(rng, draft, depth - 1)]),
+        }
+    return _object_schema(rng, draft, depth)

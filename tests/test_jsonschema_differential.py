@@ -1,0 +1,152 @@
+"""Cross-implementation conformance: this engine's kernel vs the
+independent ``jsonschema`` library (a mature implementation of the same
+specs), over (a) the hand-written conformance corpus and (b) a large
+deterministic randomly-generated corpus.
+
+The official JSON-Schema-Test-Suite is not fetchable in this sandbox
+(no network); this differential harness is the substitute confidence
+signal the reference gets from running the org suite wholesale
+(``JsonSchemaOrgTests.java:26-154``): two unrelated implementations
+agreeing on tens of thousands of verdicts across three drafts.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import random
+
+import pytest
+
+jsonschema = pytest.importorskip("jsonschema")
+
+from json_schema_spark.core.validator import CompileConfig, compile_schema  # noqa: E402
+from tests import differential_gen as G  # noqa: E402
+
+SUITE_DIR = pathlib.Path(__file__).parent / "suite"
+
+_LIB_VALIDATORS = {
+    "draft7": jsonschema.Draft7Validator,
+    "2019-09": jsonschema.Draft201909Validator,
+    "2020-12": jsonschema.Draft202012Validator,
+}
+_DIR_DIALECT = {"draft7": "draft7", "draft2019": "2019-09", "draft2020": "2020-12"}
+
+# corpus files exercising behaviors where the library deliberately
+# differs from the reference semantics this engine implements: format
+# assertions (forced on in those files), content vocabulary (library
+# never asserts), and IDN tables (library needs optional deps)
+_SKIP_FILES = ("format", "content", "idn")
+
+
+def _has_decimal_multiple_of(node) -> bool:
+    """The engine follows the reference's exact-decimal ``multipleOf``
+    (``MultipleOfCompiler.java:36-43``); the library uses binary floats
+    and gets e.g. 19.99 % 0.01 wrong — documented divergence."""
+    if isinstance(node, dict):
+        m = node.get("multipleOf")
+        if isinstance(m, float) and not m.is_integer():
+            return True
+        return any(_has_decimal_multiple_of(v) for v in node.values())
+    if isinstance(node, list):
+        return any(_has_decimal_multiple_of(v) for v in node)
+    return False
+
+
+def _contains_keys(node, keys: set) -> set:
+    found = set()
+    if isinstance(node, dict):
+        found |= keys & set(node)
+        for v in node.values():
+            found |= _contains_keys(v, keys)
+    elif isinstance(node, list):
+        for v in node:
+            found |= _contains_keys(v, keys)
+    return found
+
+
+def _lib_2019_uneval_quirk(schema) -> bool:
+    """jsonschema's Draft201909Validator does not feed
+    ``additionalProperties`` annotations into ``unevaluatedProperties``
+    (its 2020-12 path and this kernel both do, matching the spec and the
+    official suite's 'adjacent additionalProperties' case) — skip that
+    combination when comparing against the library's 2019-09 mode."""
+    hit = _contains_keys(
+        schema, {"unevaluatedProperties", "unevaluatedItems",
+                 "additionalProperties", "additionalItems"}
+    )
+    return bool(hit & {"unevaluatedProperties", "unevaluatedItems"}) and bool(
+        hit & {"additionalProperties", "additionalItems"}
+    )
+
+
+def _corpus_cases():
+    for sub, dialect in _DIR_DIALECT.items():
+        d = SUITE_DIR / sub
+        if not d.is_dir():
+            continue
+        for f in sorted(d.glob("*.json")):
+            if any(tok in f.name for tok in _SKIP_FILES):
+                continue
+            for group in json.loads(f.read_text()):
+                yield f.name, dialect, group
+
+
+@pytest.mark.parametrize(
+    "fname,dialect,group",
+    list(_corpus_cases()),
+    ids=lambda v: v if isinstance(v, str) else getattr(v, "get", lambda *_: "")("description"),
+)
+def test_library_agrees_on_corpus(fname, dialect, group):
+    """Every hand-written corpus verdict must match the independent
+    library (cases the library cannot process — e.g. unregistered remote
+    refs — are skipped, not ignored silently)."""
+    schema = group["schema"]
+    if _has_decimal_multiple_of(schema):
+        pytest.skip("exact-decimal multipleOf: library uses binary floats")
+    try:
+        lib = _LIB_VALIDATORS[dialect](schema)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"library cannot compile: {e}")
+    for case in group["tests"]:
+        try:
+            lib_ok = lib.is_valid(case["data"])
+        except Exception as e:
+            pytest.skip(f"library cannot evaluate: {e}")
+        assert lib_ok == case["valid"], (
+            f"{fname}: library disagrees with corpus verdict on "
+            f"{case['description']!r}: schema={schema!r} data={case['data']!r}"
+        )
+
+
+@pytest.mark.parametrize("dialect", ["draft7", "2019-09", "2020-12"])
+@pytest.mark.parametrize("seed", [11, 23, 37])
+def test_generated_differential(dialect, seed):
+    """~500 random schemas × 10 random instances per (dialect, seed):
+    kernel verdict must equal the library verdict on every single one."""
+    rng = random.Random(f"{dialect}-{seed}")
+    lib_cls = _LIB_VALIDATORS[dialect]
+    cfg = CompileConfig(dialect=dialect, content_mode="disabled")
+    checked = 0
+    for i in range(500):
+        schema = G.schema(rng, dialect, top=True)
+        if dialect == "2019-09" and _lib_2019_uneval_quirk(schema):
+            continue
+        try:
+            lib = lib_cls(schema)
+            lib_cls.check_schema(schema)
+        except Exception:
+            continue  # generator produced something the library rejects
+        kernel = compile_schema(schema, dialect=dialect,
+                                config=CompileConfig(**vars(cfg)))
+        for _ in range(10):
+            inst = G.value(rng)
+            lib_ok = lib.is_valid(inst)
+            ker_ok = kernel.is_valid(inst)
+            assert ker_ok == lib_ok, (
+                f"dialect={dialect} seed={seed} schema#{i}\n"
+                f"schema={json.dumps(schema)}\ninstance={json.dumps(inst)}\n"
+                f"kernel={ker_ok} library={lib_ok}"
+            )
+            checked += 1
+    assert checked > 3000  # the harness actually exercised the engines
