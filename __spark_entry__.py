@@ -8,7 +8,11 @@ executors) plus the per-row sha256 invariant column (input_hint).
 SURVEY.md §2 / §2.9 and the training-data pipeline ops; each Spark
 query is paired with an ANSI-SQL DuckDB oracle where the semantics are
 SQL-expressible (all value-bearing columns aliased identically on both
-sides, floats rounded to 6 decimals, counts cast to bigint).
+sides, floats rounded to 6 decimals, counts cast to bigint). Round 2:
+27 queries, 26 oracle-paired — hash-dependent operators use
+SQL-reproducible hashes (sha256-derived SimHash bits, OPH MinHash,
+mod-seeded exact-decimal IVF) so only the xxhash64 MinHash fast path
+remains rows-only.
 """
 
 from __future__ import annotations
@@ -214,6 +218,10 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_t(spark, sf_dir, "documents"))
 
 
+def _q_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_oph_digest(_t(spark, sf_dir, "documents"))
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -277,6 +285,11 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = T.lang_id(_tp(spark, sf_dir, "documents"))
+    return out.select("doc_id", "lang_pred", "lang_pred_score")
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(_tp(spark, sf_dir, "documents")).select("doc_id", "fp_sha256")
 
@@ -332,15 +345,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first_documents": _q_dedup_keep_first,
         "ngram_jaccard_documents": _q_ngram_jaccard,
         "minhash_neardup_documents": _q_minhash_neardup,
+        "minhash_oph_documents": _q_minhash_oph,
         "simhash_documents": _q_simhash,
         "ann_topk_embeddings": _q_ann_topk,
         "ivf_topk_embeddings": _q_ivf_topk,
         "ivf_recall_embeddings": _q_ivf_recall,
         "partition_ledger_documents": _q_partition_ledger,
         "text_stats_documents": _q_text_stats,
+        "language_id_documents": _q_lang_id,
         "fingerprint_documents": _q_fingerprint,
         "agg_pricing_summary": _q_agg_pricing,
     }
+
+
+def _minhash_oph_oracle_sql(norm: str) -> str:
+    """DuckDB replica of :func:`operators.dedup.minhash_oph_digest`:
+    one sha256 per 5-gram shingle, 60-bit horner value from the first
+    15 hex digits (BIGINT-safe — no shifts), per-(id, value%64-bin)
+    minimum, digest over the sorted padded-bin:min lines."""
+    horner = "CAST(0 AS BIGINT)"
+    for p in range(15):
+        horner = (f"(({horner}) * 16 + "
+                  f"(strpos('0123456789abcdef', substring(hx, {p + 1}, 1)) - 1))")
+    return f"""
+        WITH t AS (SELECT doc_id AS id, {norm} AS nt FROM documents),
+        p AS (SELECT id, nt, unnest(range(1, greatest(length(nt) - 4, 1) + 1)) AS i
+              FROM t),
+        h AS (SELECT id, substring(sha256(substring(nt, i, 5)), 1, 15) AS hx FROM p),
+        v AS (SELECT id, {horner} AS v FROM h),
+        m AS (SELECT id, (v % 64)::INT AS bin, min(v) AS mn FROM v GROUP BY 1, 2),
+        l AS (SELECT id, lpad(bin::VARCHAR, 2, '0') || ':' || mn::VARCHAR AS line
+              FROM m)
+        SELECT id, sha256(string_agg(line, ',' ORDER BY line)) AS sig_sha256
+        FROM l GROUP BY id
+    """
 
 
 def _simhash_oracle_sql(norm: str) -> str:
@@ -449,6 +487,41 @@ def _ivf_recall_oracle_sql() -> str:
                 PARTITION BY query_id ORDER BY cos DESC, item_id ASC) AS rnk FROM bfs)
             WHERE rnk <= 5)
         SELECT count(*) / 50 AS recall FROM ivf JOIN bf USING (query_id, item_id)
+    """
+
+
+def _lang_id_oracle_sql(norm: str) -> str:
+    """DuckDB replica of :func:`operators.text.lang_id`: per-language
+    stopword hit rate (CJK by character containment / 3.0), argmax with
+    the same (score DESC, lang DESC) tie-break the Spark sorted-struct
+    uses. All scores are single int/int divisions — bit-stable."""
+    parts = []
+    for lang, sws in T.STOPWORDS.items():
+        if lang == "zh":
+            hits = " + ".join(
+                f"(CASE WHEN contains(text, '{ch}') THEN 1 ELSE 0 END)" for ch in sws
+            )
+            parts.append(
+                f"SELECT doc_id, 'zh' AS lang, "
+                f"CAST(({hits}) AS DOUBLE) / CAST(3.0 AS DOUBLE) AS score FROM documents"
+            )
+        else:
+            lst = ", ".join(f"'{w}'" for w in sws)
+            parts.append(
+                f"SELECT doc_id, '{lang}' AS lang, "
+                f"len(list_filter(string_split({norm}, ' '), w -> w IN ({lst}))) "
+                f"/ greatest(len(string_split({norm}, ' ')), 1) AS score FROM documents"
+            )
+    per = " UNION ALL ".join(parts)
+    return f"""
+        WITH per AS ({per}), r AS (
+          SELECT doc_id, lang, score, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+          FROM per)
+        SELECT doc_id,
+               CASE WHEN score > 0 THEN lang ELSE 'unknown' END AS lang_pred,
+               round(score, 6) AS lang_pred_score
+        FROM r WHERE rn = 1
     """
 
 
@@ -718,6 +791,8 @@ def oracle_sql() -> dict[str, str]:
             FROM tok
         """,
         "fingerprint_documents": f"SELECT doc_id, sha256({norm}) AS fp_sha256 FROM documents",
+        "language_id_documents": _lang_id_oracle_sql(norm),
+        "minhash_oph_documents": _minhash_oph_oracle_sql(norm),
         "simhash_documents": _simhash_oracle_sql(norm),
         "ivf_topk_embeddings": _ivf_topk_oracle_sql(),
         "ivf_recall_embeddings": _ivf_recall_oracle_sql(),

@@ -265,15 +265,56 @@ def is_hostname(s: str) -> bool:
     return all(_LDH_LABEL.match(lb) for lb in labels)
 
 
+def _bidi_ok(labels: list[str]) -> bool:
+    """RFC 5893 Bidi rule over the whole domain (IDNA.java:8-50 parity
+    via stdlib bidi classes instead of vendored Unicode tables): if any
+    label contains an R/AL/AN character the domain is a Bidi domain and
+    EVERY label must satisfy the per-label rule."""
+    import unicodedata as _ud
+
+    cls = _ud.bidirectional
+    if not any(cls(c) in ("R", "AL", "AN") for lab in labels for c in lab):
+        return True
+    for lab in labels:
+        if not lab:
+            return False
+        classes = [cls(c) for c in lab]
+        first = classes[0]
+        i = len(classes) - 1
+        while i >= 0 and classes[i] == "NSM":
+            i -= 1
+        if first in ("R", "AL"):
+            if any(c not in ("R", "AL", "AN", "EN", "ES", "CS", "ET", "ON",
+                             "BN", "NSM") for c in classes):
+                return False
+            if i < 0 or classes[i] not in ("R", "AL", "EN", "AN"):
+                return False
+            if "EN" in classes and "AN" in classes:
+                return False
+        elif first == "L":
+            if any(c not in ("L", "EN", "ES", "CS", "ET", "ON", "BN", "NSM")
+                   for c in classes):
+                return False
+            if i < 0 or classes[i] not in ("L", "EN"):
+                return False
+        else:
+            return False
+    return True
+
+
 def is_idn_hostname(s: str) -> bool:
     """IDNA hostname: per-label UTS46-lite checks (length, hyphen rules,
-    punycode decodability, a few contextual rules the official suite
-    exercises). Reference: ``common/email/HostnameValidator.java`` +
+    punycode decodability, contextual rules) plus the RFC 5893 Bidi rule
+    and the no-leading-combining-mark rule (RFC 5891 §4.2.3).
+    Reference: ``common/email/HostnameValidator.java`` +
     ``common/unicode/IDNA.java``."""
+    import unicodedata as _ud
+
     if not s:
         return False
     if s.endswith("."):
         s = s[:-1]
+    decoded_labels: list[str] = []
     for label in s.split("."):
         if not label:
             return False
@@ -285,10 +326,13 @@ def is_idn_hostname(s: str) -> bool:
             if not decoded or decoded.isascii():
                 return False
             label = decoded
+        decoded_labels.append(label)
         if label.isascii():
             if not _LDH_LABEL.match(label):
                 return False
             continue
+        if _ud.category(label[0]).startswith("M"):
+            return False  # leading combining mark (RFC 5891 §4.2.3.2)
         # non-ASCII label: hyphen rules
         if label.startswith("-") or label.endswith("-"):
             return False
@@ -326,7 +370,7 @@ def is_idn_hostname(s: str) -> bool:
         has_eai = any("۰" <= c <= "۹" for c in label)
         if has_ai and has_eai:
             return False
-    return True
+    return _bidi_ok(decoded_labels)
 
 
 # ---------------------------------------------------------------- email

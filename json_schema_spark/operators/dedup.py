@@ -29,6 +29,7 @@ __all__ = [
     "minhash_signature",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_oph_digest",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_pairs",
@@ -175,6 +176,9 @@ def minhash_lsh_pairs(
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
     a = banded.alias("a")
     b = banded.alias("b")
+    # dropDuplicates BEFORE the broadcast: a pair colliding in k bands
+    # would otherwise ride the broadcast k times (the verify groupBy
+    # merges duplicates either way, but broadcast bytes matter at scale)
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
                & (F.col("a.id") < F.col("b.id")))
@@ -190,18 +194,24 @@ def minhash_lsh_pairs(
     shingles = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), char_shingles(F.col(text_col), shingle_n).alias("sh")
     )
-    # Two broadcast(cand) joins, each streaming the shingle scan with no
-    # shuffle (the pair set is the explicit build side), merged on the
-    # pair key. Only candidate-matched rows — O(|cand|), not O(corpus) —
-    # carry their shingle arrays through the final merge shuffle. A
-    # chained .hint("broadcast") here would attach to the join RESULT
-    # (which carries per-document shingle arrays) and rebuild it on the
-    # driver — the pathological plan.
-    a_side = shingles.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")) \
-        .join(F.broadcast(cand), "id_a")
-    b_side = shingles.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")) \
-        .join(F.broadcast(cand.select("id_b").distinct()), "id_b")
-    cand = a_side.join(b_side, "id_b")
+    # Single-scan verify: melt each pair to (id_a, id_b, id) rows, ONE
+    # broadcast of the slim melted pair set into ONE streaming pass over
+    # the shingle scan (no shuffle of the corpus), then re-group the two
+    # matched rows per pair. Only candidate-matched rows — O(|cand|),
+    # not O(corpus) — carry shingle arrays through the pair-key shuffle.
+    # Broadcasting the pair side explicitly matters: a chained
+    # .hint("broadcast") attaches to the join RESULT (which carries
+    # per-document shingle arrays) — the pathological driver build.
+    melted = cand.select(
+        "id_a", "id_b", F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id")
+    )
+    joined = shingles.join(F.broadcast(melted), "id")
+    cand = joined.groupBy("id_a", "id_b").agg(
+        F.first(F.when(F.col("id") == F.col("id_a"), F.col("sh")),
+                ignorenulls=True).alias("sh_a"),
+        F.first(F.when(F.col("id") == F.col("id_b"), F.col("sh")),
+                ignorenulls=True).alias("sh_b"),
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
@@ -247,6 +257,50 @@ def ngram_jaccard_pairs(
         "id_b",
         (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_oph_digest(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       shingle_n: int = 5, bins: int = 64) -> DataFrame:
+    """One-permutation MinHash (OPH): ONE sha256 per shingle, bucketed
+    into ``bins`` bins by value, per-bin minimum — the k-hash signature
+    at 1/k the hashing cost (Li/Owen/Zhang's one-permutation scheme).
+    Returned as ``(id, sig_sha256)`` where the digest covers the sorted
+    (bin, min) pairs; empty bins are simply absent (identical on any
+    engine computing the same hash).
+
+    sha256-derived 60-bit values (15 hex digits, horner-summed — no
+    shifts, so no 64-bit overflow anywhere) keep the whole operator
+    ANSI-SQL-expressible: this is the DuckDB-oracle-able twin of the
+    xxhash64 ``minhash_signatures`` fast path.
+    """
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t"))
+    )
+    posting = base.select(
+        "id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("t") - (shingle_n - 1), F.lit(1)))
+        ).alias("i"),
+        "t",
+    ).select("id", F.substring(F.sha2(F.expr(f"substring(t, i, {int(shingle_n)})"), 256),
+                               1, 15).alias("hx"))
+    hexmap = F.lit(_HEXMAP)
+    val = F.lit(0).cast("long")
+    for p in range(15):
+        val = val * 16 + (F.instr(hexmap, F.substring("hx", p + 1, 1)) - 1).cast("long")
+    mins = (
+        posting.select("id", F.pmod(val, F.lit(bins)).cast("int").alias("bin"),
+                       val.alias("v"))
+        .groupBy("id", "bin")
+        .agg(F.min("v").alias("mn"))
+    )
+    line = F.concat_ws(":", F.lpad(F.col("bin").cast("string"), 2, "0"),
+                       F.col("mn").cast("string"))
+    return (
+        mins.groupBy("id")
+        .agg(F.sha2(F.concat_ws(",", F.sort_array(F.collect_list(line))), 256)
+             .alias("sig_sha256"))
+    )
 
 
 # ----------------------------------------------------------------- SimHash

@@ -83,6 +83,11 @@ def build_ivf(corpus: DataFrame, n_centroids: int = 16, vec_col: str = "embeddin
         cents_rows = sorted(
             (int(r["centroid_id"]), [float(r[f"s{j}"]) for j in range(dim)]) for r in sums
         )
+        # Build the argmax as ONE SQL string parsed JVM-side: composing
+        # n_centroids × dim Column objects through py4j costs seconds of
+        # driver round trips per iteration; the parsed expression is
+        # identical (left-assoc double arithmetic, `D` literal suffix
+        # keeps every literal a double, repr() round-trips the bits).
         structs = []
         for cid, vec in cents_rows:
             norm_sq = 0.0
@@ -90,17 +95,15 @@ def build_ivf(corpus: DataFrame, n_centroids: int = 16, vec_col: str = "embeddin
                 norm_sq += x * x
             if norm_sq == 0.0:
                 continue  # degenerate/empty cluster: unelectable
-            dot_c = F.col("cv")[0] * F.lit(vec[0])
-            for j in range(1, dim):
-                dot_c = dot_c + F.col("cv")[j] * F.lit(vec[j])
+            dot_c = " + ".join(f"cv[{j}] * {vec[j]!r}D" for j in range(dim))
             structs.append(
-                F.struct(
-                    (dot_c / F.lit(math.sqrt(norm_sq))).alias("s"),
-                    F.lit(-cid).cast("int").alias("nid"),
-                )
+                f"struct((({dot_c}) / {math.sqrt(norm_sq)!r}D) AS s, "
+                f"CAST({-cid} AS INT) AS nid)"
             )
-        best = F.greatest(*structs) if len(structs) > 1 else structs[0]
-        assigned = c.withColumn("centroid_id", (-best["nid"]).cast("int"))
+        best = f"greatest({', '.join(structs)})" if len(structs) > 1 else structs[0]
+        assigned = c.withColumn(
+            "centroid_id", F.expr(f"CAST(-(({best}).nid) AS INT)")
+        )
     cents = corpus.sparkSession.createDataFrame(
         [(cid, vec) for cid, vec in cents_rows],
         "centroid_id int, centroid array<double>",

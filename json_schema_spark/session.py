@@ -29,7 +29,11 @@ def get_spark(app: str = "json_schema_spark", cores: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", str(ui).lower())
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 24g: at 16+ local threads an 8g heap inflates CPU work ~1.3-1.7×
+        # in GC/allocator contention; 24g measured ZERO inflation
+        # (BASELINE.md round 2, run 3). On a cluster spark-submit sizes
+        # executors instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

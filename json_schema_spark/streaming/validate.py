@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..plans.runner import SparkValidator
 
-__all__ = ["validate_stream", "windowed_violation_rates", "stream_ledger_writer"]
+__all__ = [
+    "validate_stream",
+    "windowed_violation_rates",
+    "stream_ledger_writer",
+    "stream_dedup",
+    "running_violation_totals",
+]
 
 
 def validate_stream(stream_df: DataFrame, validator: SparkValidator,
@@ -53,6 +59,56 @@ def windowed_violation_rates(validated: DataFrame, ts_col: str,
             "rows",
             "violation_rows",
             (F.col("violation_rows") / F.col("rows")).alias("violation_rate"),
+        )
+    )
+
+
+def stream_dedup(stream_df: DataFrame, key_cols: Iterable[str], ts_col: str,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: state-store-backed
+    ``dropDuplicatesWithinWatermark`` — duplicates arriving within the
+    watermark horizon are dropped, state is evicted past it (bounded
+    memory at any throughput; the streaming analogue of
+    ``dedup.exact_duplicates``)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(key_cols))
+    )
+
+
+def running_violation_totals(validated: DataFrame, key_col: str,
+                             timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-key row/violation totals carried across micro-batches in the
+    state store (the pattern for stateful logic the built-in operators
+    can't express). Output mode: update."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, rows long, violation_rows long"
+    state_schema = "rows long, violation_rows long"
+
+    def update(key, pdfs, state: GroupState):
+        rows = viols = 0
+        for pdf in pdfs:
+            rows += len(pdf)
+            v = pdf["valid"].fillna(False).astype(bool)
+            viols += int((~v).sum())
+        if state.exists:
+            r0, v0 = state.get
+            rows += r0
+            viols += v0
+        state.update((rows, viols))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "rows": [rows], "violation_rows": [viols]}
+        )
+
+    return (
+        validated.select(F.col(key_col).cast("string").alias(key_col), "valid")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            getattr(GroupStateTimeout, timeout),
         )
     )
 

@@ -65,5 +65,5 @@ def test_expression_path_coverage():
                     pass
                 except Exception:
                     pass
-    # at least half the corpus should stay on the codegen fast path
-    assert expr / total >= 0.5, f"expression coverage fell to {expr}/{total}"
+    # 88.4% as of round 2 (static unevaluated*); guard against regression
+    assert expr / total >= 0.8, f"expression coverage fell to {expr}/{total}"

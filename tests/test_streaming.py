@@ -110,3 +110,60 @@ def test_windowed_violation_rates(spark, tmp_path):
         assert got[m]["rows"] == 30
         assert got[m]["violation_rows"] == 12
         assert abs(got[m]["violation_rate"] - 0.4) < 1e-9
+
+
+def test_stream_dedup_drops_duplicates(spark, tmp_path):
+    from json_schema_spark.streaming.validate import stream_dedup
+
+    d = tmp_path / "dup_src"
+    rows = [(i % 50, f"2026-01-01 00:00:{i % 60:02d}") for i in range(200)]
+    (spark.createDataFrame(rows, "k long, ts string")
+     .withColumn("ts", F.col("ts").cast("timestamp"))
+     .repartition(4).write.parquet(str(d)))
+    schema = spark.read.parquet(str(d)).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    deduped = stream_dedup(stream, ["k"], "ts", watermark="1 hour")
+    out = str(tmp_path / "dedup_out")
+    q = (deduped.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 50                      # one survivor per key
+    assert got.select("k").distinct().count() == 50
+
+
+def test_running_violation_totals_stateful(spark, src_dir, tmp_path):
+    from json_schema_spark.streaming.validate import running_violation_totals
+
+    v = SparkValidator(FLAGSHIP_SCHEMA, dialect="draft7")
+    batch = spark.read.parquet(src_dir)
+    expected = {
+        r["lang"]: (r["rows"], r["viols"])
+        for r in (
+            v.apply_table(batch, columns=COLS, with_violations=False)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("rows"),
+                 F.sum((~F.col("valid")).cast("long")).alias("viols"))
+            .collect()
+        )
+    }
+
+    schema = batch.schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src_dir)
+    )
+    validated = validate_stream(stream, v, columns=COLS, with_violations=False)
+    totals = running_violation_totals(validated, "lang")
+    q = (totals.writeStream.format("memory").queryName("run_totals")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    # memory sink in update mode appends every per-batch update; the
+    # final running total per key is the max (totals only grow)
+    got = {}
+    for r in spark.sql("SELECT lang, max(rows) AS rows, max(violation_rows) AS v "
+                       "FROM run_totals GROUP BY lang").collect():
+        got[r["lang"]] = (r["rows"], r["v"])
+    assert got == expected
