@@ -9,10 +9,10 @@ SURVEY.md §2 / §2.9 and the training-data pipeline ops; each Spark
 query is paired with an ANSI-SQL DuckDB oracle where the semantics are
 SQL-expressible (all value-bearing columns aliased identically on both
 sides, floats rounded to 6 decimals, counts cast to bigint). Round 2:
-27 queries, 26 oracle-paired — hash-dependent operators use
-SQL-reproducible hashes (sha256-derived SimHash bits, OPH MinHash,
-mod-seeded exact-decimal IVF) so only the xxhash64 MinHash fast path
-remains rows-only.
+28 queries, 27 oracle-paired — hash-dependent operators use
+SQL-reproducible hashes (sha256-derived SimHash bits and LSH
+hyperplanes, OPH MinHash, mod-seeded exact-decimal IVF) so only the
+xxhash64 MinHash fast path remains rows-only.
 """
 
 from __future__ import annotations
@@ -222,6 +222,14 @@ def _q_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_oph_digest(_t(spark, sf_dir, "documents"))
 
 
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    pairs = D.embedding_neardup_pairs(emb, threshold=0.25, planes=8, seed=42)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -347,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup_documents": _q_minhash_neardup,
         "minhash_oph_documents": _q_minhash_oph,
         "simhash_documents": _q_simhash,
+        "embedding_neardup_pairs": _q_embedding_neardup,
         "ann_topk_embeddings": _q_ann_topk,
         "ivf_topk_embeddings": _q_ivf_topk,
         "ivf_recall_embeddings": _q_ivf_recall,
@@ -405,6 +414,32 @@ def _simhash_oracle_sql(norm: str) -> str:
         d AS (SELECT id, {digit_cols} FROM h),
         v AS (SELECT id, {vote_cols} FROM d GROUP BY id)
         SELECT id, ({sig})::BIGINT AS simhash FROM v
+    """
+
+
+def _embedding_neardup_oracle_sql(planes: int = 8, seed: int = 42,
+                                  dim: int = 64, threshold: float = 0.25) -> str:
+    """DuckDB replica of hyperplane-LSH embedding near-dup: the plane
+    constants are sha256-derived on the driver (dedup.hyperplane) and
+    embedded as literals in BOTH engines, so buckets and cosines are
+    bit-identical."""
+    pl = [D.hyperplane(seed, p, dim) for p in range(planes)]
+
+    def arr(vs):
+        return "[" + ", ".join(repr(v) for v in vs) + "]::DOUBLE[]"
+
+    bucket = " || ".join(
+        f"(CASE WHEN list_dot_product(cv, {arr(p)}) >= 0 THEN '1' ELSE '0' END)"
+        for p in pl
+    )
+    cos = ("list_dot_product(a.cv, b.cv) / (sqrt(list_dot_product(a.cv, a.cv))"
+           " * sqrt(list_dot_product(b.cv, b.cv)))")
+    return f"""
+        WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS cv FROM embeddings),
+        s AS (SELECT id, cv, {bucket} AS bucket FROM c)
+        SELECT a.id AS id_a, b.id AS id_b, round({cos}, 6) AS cosine
+        FROM s a JOIN s b ON a.bucket = b.bucket AND a.id < b.id
+        WHERE {cos} >= {threshold}
     """
 
 
@@ -794,6 +829,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id_documents": _lang_id_oracle_sql(norm),
         "minhash_oph_documents": _minhash_oph_oracle_sql(norm),
         "simhash_documents": _simhash_oracle_sql(norm),
+        "embedding_neardup_pairs": _embedding_neardup_oracle_sql(),
         "ivf_topk_embeddings": _ivf_topk_oracle_sql(),
         "ivf_recall_embeddings": _ivf_recall_oracle_sql(),
         "partition_ledger_documents": _ledger_oracle_sql(),

@@ -97,6 +97,8 @@ KEYWORD_TO_KIND: dict[str, ErrorKind] = {
     "contentSchema": ErrorKind.CONTENT_SCHEMA,
     "$parse": ErrorKind.PARSE,
     "if": ErrorKind.IF_THEN_ELSE,
+    "then": ErrorKind.IF_THEN_ELSE,
+    "else": ErrorKind.IF_THEN_ELSE,
     "propertyNames": ErrorKind.PROPERTY_NAMES,
     "additionalProperties": ErrorKind.ADDITIONAL_PROPERTIES,
     "additionalItems": ErrorKind.ADDITIONAL_ITEMS,

@@ -33,6 +33,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_pairs",
+    "hyperplane",
     "embedding_neardup_pairs",
     "dedup_keep_first",
 ]
@@ -384,6 +385,20 @@ def simhash_pairs(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 # ------------------------------------------------------- embedding near-dup
 
+def hyperplane(seed: int, p: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component values in
+    [-0.5, 0.5): sha256-derived on the DRIVER (hashlib), so the same
+    constants can be embedded as literals in both the Spark plan and an
+    ANSI-SQL oracle — no engine-specific hash function anywhere."""
+    import hashlib as _hl
+
+    out = []
+    for j in range(dim):
+        h = _hl.sha256(f"{seed}:{p}:{j}".encode()).digest()
+        out.append((int.from_bytes(h[:4], "big") % 1000) / 1000.0 - 0.5)
+    return out
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -395,15 +410,13 @@ def embedding_neardup_pairs(
     """Cosine near-duplicates via random-hyperplane LSH: sign-bit
     sketch buckets candidates (vectors with cosine ≥ τ rarely differ in
     sign pattern), exact cosine verifies. Hyperplanes are deterministic
-    xxhash64-derived pseudo-gaussians — no driver-side randomness."""
+    sha256-derived constants (:func:`hyperplane`) baked in as literals —
+    fully reproducible in ANSI SQL for the driver oracle."""
     dim_df = df.select(F.size(vec_col).alias("d")).limit(1).collect()
     dim = dim_df[0]["d"]
 
     def plane(p: int) -> F.Column:
-        return F.array(*[
-            ((F.xxhash64(F.lit(seed), F.lit(p), F.lit(j)) % 1000).cast("double") / 1000.0)
-            for j in range(dim)
-        ])
+        return F.array(*[F.lit(v) for v in hyperplane(seed, p, dim)])
 
     def dot(a, b) -> F.Column:
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),

@@ -1,12 +1,13 @@
 """Multimodal column plumbing: images/audio/video as opaque ``binary``
 columns + typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode kernels themselves are STUBS (the image/audio codec
-libraries are not in this container): ``decode='fake'`` produces
-deterministic synthetic pixels/samples so the Spark-side plumbing —
-schema contracts, batch iteration, partition sizing, UDF signatures —
-is real and fully tested; ``decode='real'`` raises NotImplementedError
-at the clearly marked point where PIL/libav would be called.
+``decode='real'`` decodes uncompressed 24-bit BMP natively (pure numpy
+— a genuinely working image path with no codec library) and raises
+NotImplementedError at the clearly marked point where PIL/libav would
+handle other formats (those libraries are not in this container);
+``decode='fake'`` produces deterministic synthetic pixels/samples so
+the Spark-side plumbing — schema contracts, batch iteration, partition
+sizing, UDF signatures — is exercised independent of any codec.
 """
 
 from __future__ import annotations
@@ -47,11 +48,43 @@ def synth_binary_column(df: DataFrame, id_col: str = "row_id",
     )
 
 
+def _decode_bmp(data: bytes) -> np.ndarray:
+    """Pure-numpy decode of an uncompressed 24-bit BMP (BITMAPINFOHEADER)
+    to a float64 luma plane — a REAL decoder needing no codec library.
+    Raises ValueError for anything that isn't a 24bpp uncompressed BMP.
+    """
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    px = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h, offset=off)
+    px = px.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        px = px[::-1]
+    # BMP stores BGR; Rec.601 luma
+    bgr = px.astype(np.float64)
+    return 0.114 * bgr[..., 0] + 0.587 * bgr[..., 1] + 0.299 * bgr[..., 2]
+
+
 def _decode_image(data: bytes, meta: dict, mode: str) -> np.ndarray:
     if mode == "real":
-        # integration point for a real decoder (PIL.Image.open /
-        # cv2.imdecode) — not available in this environment
-        raise NotImplementedError("image codecs not available; use decode='fake'")
+        # BMP decodes natively (pure numpy); other formats are the
+        # integration point for PIL/cv2 — not available in this
+        # environment
+        try:
+            return _decode_bmp(data or b"")
+        except ValueError as e:
+            raise NotImplementedError(
+                f"non-BMP codecs not available ({e}); use decode='fake' or BMP input"
+            ) from e
     # deterministic fake decode: seed pixels from sha256(data)
     h = hashlib.sha256(data or b"").digest()
     rng = np.frombuffer((h * ((meta["width"] * meta["height"] // len(h)) + 1))[

@@ -129,7 +129,7 @@ def test_generated_differential(dialect, seed):
     cfg = CompileConfig(dialect=dialect, content_mode="disabled")
     checked = 0
     for i in range(500):
-        schema = G.schema(rng, dialect, top=True)
+        schema = G.schema(rng, dialect, depth=3 + (i % 2), top=True)
         if dialect == "2019-09" and _lib_2019_uneval_quirk(schema):
             continue
         try:

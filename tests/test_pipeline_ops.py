@@ -211,3 +211,48 @@ def test_multimodal_plumbing(spark):
     assert frames.count() > 0
     with pytest.raises(Exception):  # real decode is a declared stub
         image_features(imgs, decode="real").collect()
+
+
+def test_multimodal_real_bmp_decode(spark):
+    """decode='real' decodes genuine uncompressed 24-bit BMP bytes
+    (pure-numpy decoder, no codec library) — features match a local
+    numpy ground truth exactly."""
+    import numpy as np
+
+    def encode_bmp(px_rgb: "np.ndarray") -> bytes:
+        h, w, _ = px_rgb.shape
+        row = (w * 3 + 3) & ~3
+        body = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up
+            line = bytearray()
+            for x in range(w):
+                r, g, b = px_rgb[y, x]
+                line += bytes((int(b), int(g), int(r)))  # BGR on disk
+            line += b"\x00" * (row - len(line))
+            body += line
+        off = 54
+        size = off + len(body)
+        hdr = b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00" + off.to_bytes(4, "little")
+        info = (40).to_bytes(4, "little") + w.to_bytes(4, "little", signed=True) \
+            + h.to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little") \
+            + (24).to_bytes(2, "little") + (0).to_bytes(4, "little") \
+            + len(body).to_bytes(4, "little") + b"\x00" * 16
+        return bytes(hdr + info + body)
+
+    rng = np.random.RandomState(7)
+    rows, truth = [], {}
+    for i, (w, h) in enumerate([(16, 16), (16, 16), (24, 8)]):
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append((i, "image", bytearray(encode_bmp(px)),
+                     {"width": w, "height": h, "format": "bmp"}))
+        luma = (0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]).astype(np.float64)
+        truth[i] = (w, h, float(luma.mean()))
+    df = spark.createDataFrame(
+        rows, "id long, modality string, data binary, "
+              "meta struct<width:int, height:int, format:string>")
+    feats = {r["id"]: r for r in image_features(df, decode="real").collect()}
+    assert set(feats) == set(truth)
+    for i, (w, h, mean) in truth.items():
+        assert feats[i]["width"] == w and feats[i]["height"] == h
+        assert abs(feats[i]["mean_luma"] - mean) < 1e-9
+        assert feats[i]["n_bytes"] > 54

@@ -165,3 +165,26 @@ def test_checkpoint_resume(spark, tmp_path):
         assert m2[b]["rows"] == m1[b]["rows"]
     assert run.results(spark).count() == 3000
     assert run.run(df, validate) == []  # idempotent: nothing left
+
+
+def test_checkpoint_single_pass_per_bucket(spark, tmp_path):
+    """The manifest metrics ride on the write job via observe(): each
+    bucket costs exactly 2 Spark jobs (verdict write + tiny manifest
+    write) — no re-read of the written parquet, no extra aggregation
+    job (the pre-observe() shape paid 3+ with a full second scan)."""
+    df = source_code_table(spark, 1000, partitions=4)
+    run = ResumableRun(str(tmp_path / "runjp"), n_buckets=4)
+    validate = lambda d: validate_source_table(d, with_sha=False).select(
+        "row_id", "valid", F.to_json("violations").alias("violations_json")
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    all_ids_before = set(tracker.getJobIdsForGroup(None) or [])
+    processed = run.run(df, validate)
+    assert len(processed) == 4
+    all_ids_after = set(tracker.getJobIdsForGroup(None) or [])
+    new_jobs = len(all_ids_after - all_ids_before)
+    assert new_jobs <= 2 * len(processed) + 1, (
+        f"{new_jobs} jobs for {len(processed)} buckets — bucket work is "
+        "re-reading its own output"
+    )
