@@ -265,3 +265,25 @@ def test_spark_validator_honors_format_assertion_meta(spark):
     out = v.apply_json(df, "doc", with_violations=False).orderBy("doc")
     got = [r["valid"] for r in out.select("valid").collect()]
     assert got == [True, False]
+
+
+def test_spark_path_with_remote_loaded_ref(spark, fixture_server):
+    """A schema whose $ref was fetched through the loader chain at
+    driver-compile time must validate through BOTH Spark engines — the
+    resolved resource rides to executors inside the registry docs."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from json_schema_spark.plans.runner import SparkValidator
+
+    schema = {"properties": {"n": {"$ref": f"{fixture_server}/nonneg.json"}},
+              "required": ["n"]}
+    docs = [{"n": 5}, {"n": -3}, {"x": 1}]
+    df = spark.createDataFrame(
+        [(i, _json.dumps(d)) for i, d in enumerate(docs)], "i int, doc string"
+    )
+    for engine in ("expr", "udf"):
+        v = SparkValidator(schema, dialect="2020-12", engine=engine)
+        out = v.apply_json(df, "doc", with_violations=False).orderBy("i")
+        assert [r["valid"] for r in out.collect()] == [True, False, False], engine
