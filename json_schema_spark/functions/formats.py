@@ -333,6 +333,18 @@ def is_idn_hostname(s: str) -> bool:
             continue
         if _ud.category(label[0]).startswith("M"):
             return False  # leading combining mark (RFC 5891 §4.2.3.2)
+        if _ud.normalize("NFC", label) != label:
+            return False  # labels must be NFC (RFC 5891 §4.2.3.1)
+        for ch in label:
+            if ch.isascii() or ch in ("‌", "‍"):
+                continue  # ZWNJ/ZWJ validated contextually below
+            if _ud.normalize("NFKC", ch) != ch:
+                # compatibility-decomposable (e.g. U+2488 '⒈') —
+                # DISALLOWED by the IDNA2008 derived property
+                return False
+            if _ud.category(ch) in ("Cc", "Cf", "Co", "Cn", "Zs", "Zl", "Zp",
+                                    "So", "Sk", "Sm", "Sc", "No"):
+                return False
         # non-ASCII label: hyphen rules
         if label.startswith("-") or label.endswith("-"):
             return False

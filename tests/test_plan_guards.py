@@ -1,0 +1,81 @@
+"""Physical-plan regression guards: the scale-critical plan properties
+documented in PLANS.md, asserted on the real executed plans so a
+refactor cannot silently reintroduce a Python node, a corpus shuffle,
+or a lost pushdown.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_spark.flagship import FLAGSHIP_SCHEMA, validate_source_table
+from json_schema_spark.operators import dedup as D, similarity as S
+from json_schema_spark.plans.runner import SparkValidator
+from json_schema_spark.sources.synth import source_code_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    return source_code_table(spark, 2000, partitions=4)
+
+
+def test_flagship_plan_python_free_no_shuffle(spark, src):
+    out = validate_source_table(src, with_sha=True)
+    plan = _plan(out)
+    assert "Python" not in plan          # zero UDFs on the typed-row path
+    assert "Exchange" not in plan        # pure projection over the scan
+
+
+def test_flagship_column_pruning_reaches_scan(spark, src, tmp_path):
+    p = str(tmp_path / "files")
+    src.write.parquet(p)
+    df = spark.read.parquet(p)
+    v = SparkValidator(FLAGSHIP_SCHEMA, dialect="draft7")
+    out = v.apply_table(df, columns=["repo", "commit", "lang"],
+                        with_violations=False).select("valid")
+    plan = _plan(out)
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "content" not in scan, f"unreferenced column scanned: {scan}"
+
+
+def test_simhash_plan_single_exchange_python_free(spark, src):
+    sh = D.simhash(src.select("row_id", F.col("content").alias("text")),
+                   text_col="text", id_col="row_id")
+    plan = _plan(sh)
+    assert "Python" not in plan
+    assert plan.count("Exchange") <= 1   # only the id aggregate shuffle
+
+
+def test_ivf_assignment_no_corpus_exchange(spark):
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.pmod(F.col("id") * (j + 7), F.lit(97)) / 97.0).cast("double")
+                  for j in range(8)]).alias("embedding"),
+    )
+    assigned, cents = S.build_ivf(emb, n_centroids=4, iters=2)
+    plan = _plan(assigned)
+    assert "Exchange" not in plan        # argmax is a single projection
+    assert "Python" not in plan
+
+
+def test_minhash_corpus_side_never_broadcast(spark, src):
+    pairs = D.minhash_lsh_pairs(
+        src.select("row_id", F.col("content").alias("text")),
+        text_col="text", id_col="row_id", threshold=0.5,
+    )
+    plan = _plan(pairs)
+    assert "Python" not in plan
+    # the broadcast build side must be the slim pair projection, never a
+    # relation carrying the shingle arrays: every BroadcastExchange in
+    # the plan tree must sit above a plan WITHOUT the shingle transform
+    import re
+
+    for m in re.finditer(r"BroadcastExchange[^\n]*\n((?:[ :+|-]+[^\n]*\n)*)", plan):
+        subtree = m.group(0)
+        assert "array_distinct" not in subtree.split("BroadcastExchange")[1][:2000] \
+            or "id_a" in subtree, "broadcasting a shingle-carrying relation"
