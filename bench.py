@@ -93,13 +93,33 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = time.perf_counter() - t_all
+
+    # Second, warm pass (separately reported): the cold pass above keeps
+    # the round-over-round methodology (single shot, JIT-cold stages);
+    # the warm numbers show steady-state throughput without the
+    # first-run JIT/codegen cost that dominates short queries and varies
+    # 2-5x with host-window noise.
+    warm: dict[str, float] = {}
+    t0 = time.perf_counter()
+    validated = validate_source_table(spark.read.parquet(src_path))
+    _materialize(partition_ledger(validated))
+    t_flag_warm = time.perf_counter() - t0
+    warm["flagship_validation"] = round(t_flag_warm, 3)
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _materialize(qs[name](spark, SF_DIR))
+        warm[name] = round(time.perf_counter() - t0, 3)
+
     print(json.dumps({
         "metric": "bench_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 3),
         "sf": sf,
         "files_per_sec": round(rows / t_flag, 1),
+        "files_per_sec_warm": round(rows / t_flag_warm, 1),
         "flagship_rows": rows,
         "cpus": CPUS,
     }))
