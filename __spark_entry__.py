@@ -8,11 +8,13 @@ executors) plus the per-row sha256 invariant column (input_hint).
 SURVEY.md §2 / §2.9 and the training-data pipeline ops; each Spark
 query is paired with an ANSI-SQL DuckDB oracle where the semantics are
 SQL-expressible (all value-bearing columns aliased identically on both
-sides, floats rounded to 6 decimals, counts cast to bigint). Round 2:
-28 queries, 27 oracle-paired — hash-dependent operators use
-SQL-reproducible hashes (sha256-derived SimHash bits and LSH
-hyperplanes, OPH MinHash, mod-seeded exact-decimal IVF) so only the
-xxhash64 MinHash fast path remains rows-only.
+sides, floats rounded to 6 decimals, counts cast to bigint). Round 3:
+30 queries, 29 oracle-paired — hash-dependent operators use
+SQL-reproducible hashes (sha256-derived SimHash bits and banded-LSH
+hyperplane sign sums in exact decimal, OPH MinHash, mod-seeded
+exact-decimal IVF) so only the xxhash64 MinHash fast path remains
+rows-only. New in round 3: typed-row and map-column object-keyword
+queries (the round-2 silent-drop fix, oracle-gated).
 """
 
 from __future__ import annotations
@@ -63,6 +65,34 @@ PROPS_SCHEMA = {
     "type": "object",
     "required": ["k"],
     "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50}},
+}
+
+# Typed-row OBJECT-keyword schema (round-3: minProperties/maxProperties
+# compile to presence-count sums, patternProperties/propertyNames/
+# additionalProperties bind to the static field set — the round-2
+# silent-drop holes, now oracle-gated).
+OBJKW_SCHEMA = {
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "type": "object",
+    "minProperties": 4,
+    "maxProperties": 5,
+    "patternProperties": {"^n_": {"type": "integer", "minimum": 80}},
+    "propertyNames": {"pattern": "^[a-z_]+$"},
+    "additionalProperties": {"type": ["integer", "string"]},
+}
+
+# Map-column object keywords (dynamic key set: runtime key filters).
+MAPKW_SCHEMA = {
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "type": "object",
+    "required": ["pm"],
+    "properties": {"pm": {
+        "type": "object",
+        "minProperties": 2,
+        "propertyNames": {"pattern": "^[a-z]+$"},
+        "patternProperties": {"^l": {"enum": ["en", "de", "es", "fr"]}},
+        "additionalProperties": {"pattern": "^src1?[0-9]$"},
+    }},
 }
 
 # Conditional combinator schema (if/then/else + multipleOf, SURVEY §2.5).
@@ -137,6 +167,28 @@ def _q_validate_events_conditional(spark: SparkSession, sf_dir: str) -> DataFram
     df = _tp(spark, sf_dir, "events")
     v = SparkValidator(COND_SCHEMA, dialect="draft7")
     return v.apply_json(df, "props", with_violations=False).select("event_id", "valid")
+
+
+def _q_validate_object_kw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-row object keywords over the documents table: property
+    counts are presence sums (NULL = absent), ^n_ patternProperties
+    binds to n_chars, every field must be integer-or-string via
+    additionalProperties — all pure Column expressions."""
+    df = _tp(spark, sf_dir, "documents")
+    v = SparkValidator(OBJKW_SCHEMA, dialect="draft7", engine="expr")
+    return v.apply_table(df, columns=DOCS_COLS, with_violations=False).select("doc_id", "valid")
+
+
+def _q_validate_map_kw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-column object keywords: a map<string,string> built from the
+    lang/source columns, validated with minProperties + propertyNames +
+    patternProperties + additionalProperties over the runtime key set
+    (entries with NULL values are absent)."""
+    df = _tp(spark, sf_dir, "documents").withColumn(
+        "pm", F.create_map(F.lit("lang"), F.col("lang"),
+                           F.lit("source"), F.col("source")))
+    v = SparkValidator(MAPKW_SCHEMA, dialect="draft7", engine="expr")
+    return v.apply_table(df, columns=["pm"], with_violations=False).select("doc_id", "valid")
 
 
 def _q_violation_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,7 +278,7 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    pairs = D.embedding_neardup_pairs(emb, threshold=0.25, planes=8, seed=42)
+    pairs = D.embedding_neardup_pairs(emb, threshold=0.25, bands=8, planes=12, seed=42)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -339,6 +391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_documents": _q_validate_documents,
         "validation_violation_summary": _q_violation_summary,
         "validate_documents_kernel": _q_validate_documents_kernel,
+        "validate_documents_object_kw": _q_validate_object_kw,
+        "validate_documents_map_kw": _q_validate_map_kw,
         "validate_events_json": _q_validate_events_json,
         "validate_events_conditional": _q_validate_events_conditional,
         "violation_kinds_documents": _q_violation_kinds,
@@ -371,11 +425,13 @@ def _minhash_oph_oracle_sql(norm: str) -> str:
     """DuckDB replica of :func:`operators.dedup.minhash_oph_digest`:
     one sha256 per 5-gram shingle, 60-bit horner value from the first
     15 hex digits (BIGINT-safe — no shifts), per-(id, value%64-bin)
-    minimum, digest over the sorted padded-bin:min lines."""
+    minimum, digest over the sorted padded-bin:min lines. NULL text
+    coalesces to '' on both engines (same as the Spark operator)."""
     horner = "CAST(0 AS BIGINT)"
     for p in range(15):
         horner = (f"(({horner}) * 16 + "
                   f"(strpos('0123456789abcdef', substring(hx, {p + 1}, 1)) - 1))")
+    norm = norm.replace("lower(text)", "lower(coalesce(text, ''))")
     return f"""
         WITH t AS (SELECT doc_id AS id, {norm} AS nt FROM documents),
         p AS (SELECT id, nt, unnest(range(1, greatest(length(nt) - 4, 1) + 1)) AS i
@@ -417,29 +473,42 @@ def _simhash_oracle_sql(norm: str) -> str:
     """
 
 
-def _embedding_neardup_oracle_sql(planes: int = 8, seed: int = 42,
+def _embedding_neardup_oracle_sql(bands: int = 8, planes: int = 12, seed: int = 42,
                                   dim: int = 64, threshold: float = 0.25) -> str:
-    """DuckDB replica of hyperplane-LSH embedding near-dup: the plane
-    constants are sha256-derived on the driver (dedup.hyperplane) and
-    embedded as literals in BOTH engines, so buckets and cosines are
-    bit-identical."""
-    pl = [D.hyperplane(seed, p, dim) for p in range(planes)]
-
-    def arr(vs):
-        return "[" + ", ".join(repr(v) for v in vs) + "]::DOUBLE[]"
-
-    bucket = " || ".join(
-        f"(CASE WHEN list_dot_product(cv, {arr(p)}) >= 0 THEN '1' ELSE '0' END)"
-        for p in pl
-    )
-    cos = ("list_dot_product(a.cv, b.cv) / (sqrt(list_dot_product(a.cv, a.cv))"
-           " * sqrt(list_dot_product(b.cv, b.cv)))")
+    """DuckDB replica of BANDED hyperplane-LSH embedding near-dup
+    (operators.dedup.embedding_neardup_pairs): the same sha256-derived
+    plane constants (plane index = band*planes + i) as a weights VALUES
+    table, per-(id, plane) dot = exact DECIMAL(27,12) sum of the double
+    products (order-independent, hence bit-identical to Spark's hash
+    aggregate — the IVF-centroid trick), per-band bucket = ordered
+    sign-bit string, candidate = collision in ANY band (DISTINCT pairs
+    over the band union), exact cosine verify (sequential double fold on
+    both engines)."""
+    rows = []
+    for p in range(bands * planes):
+        w = D.hyperplane(seed, p, dim)
+        rows.extend(f"({p}, {j + 1}, {w[j]!r})" for j in range(dim))
+    cos = ("list_dot_product(va, vb) / (sqrt(list_dot_product(va, va))"
+           " * sqrt(list_dot_product(vb, vb)))")
     return f"""
-        WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS cv FROM embeddings),
-        s AS (SELECT id, cv, {bucket} AS bucket FROM c)
-        SELECT a.id AS id_a, b.id AS id_b, round({cos}, 6) AS cosine
-        FROM s a JOIN s b ON a.bucket = b.bucket AND a.id < b.id
-        WHERE {cos} >= {threshold}
+        WITH w(p, j, wv) AS (VALUES {", ".join(rows)}),
+        c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS cv FROM embeddings),
+        posting AS (SELECT id, generate_subscripts(cv, 1) AS j, unnest(cv) AS x
+                    FROM c),
+        d AS (SELECT id, p, sum(CAST(x * wv AS DECIMAL(27,12))) AS dp
+              FROM posting JOIN w USING (j) GROUP BY id, p),
+        b AS (SELECT id, (p // {planes}) AS band,
+                     string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END,
+                                '' ORDER BY p) AS bucket
+              FROM d GROUP BY id, (p // {planes})),
+        cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+                 FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket
+                                    AND a.id < b2.id),
+        v AS (SELECT id_a, id_b, ca.cv AS va, cb.cv AS vb
+              FROM cand JOIN c ca ON ca.id = cand.id_a
+                        JOIN c cb ON cb.id = cand.id_b)
+        SELECT id_a, id_b, round({cos}, 6) AS cosine
+        FROM v WHERE {cos} >= {threshold}
     """
 
 
@@ -629,6 +698,28 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE viol_count > 0
         """,
         "validate_documents_kernel": f"SELECT doc_id, {DOCS_VALID_SQL} AS valid FROM documents",
+        # typed-row object keywords: presence-count minProperties (4 of
+        # 5 columns non-null), patternProperties ^n_ -> n_chars integer
+        # >= 80; propertyNames/additionalProperties/maxProperties are
+        # statically satisfied by the column names/types
+        "validate_documents_object_kw": """
+            SELECT doc_id,
+                   (((doc_id IS NOT NULL)::int + (text IS NOT NULL)::int
+                     + (lang IS NOT NULL)::int + (source IS NOT NULL)::int
+                     + (n_chars IS NOT NULL)::int) >= 4
+                    AND (n_chars IS NULL OR n_chars >= 80)) AS valid
+            FROM documents
+        """,
+        # map-column object keywords over create_map(lang, source):
+        # minProperties 2 = both values present; ^l patternProperties ->
+        # lang enum; additionalProperties -> source pattern
+        "validate_documents_map_kw": """
+            SELECT doc_id,
+                   (((lang IS NOT NULL)::int + (source IS NOT NULL)::int) >= 2
+                    AND (lang IS NULL OR lang IN ('en','de','es','fr'))
+                    AND (source IS NULL OR regexp_matches(source, '^src1?[0-9]$'))) AS valid
+            FROM documents
+        """,
         # Total oracles: NULL props → NULL verdict, unparseable → false,
         # missing / non-numeric / non-integer k → false (matches the
         # Spark required+type+bounds semantics; a bare BETWEEN yields

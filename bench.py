@@ -94,21 +94,29 @@ def main() -> None:
 
     total = time.perf_counter() - t_all
 
-    # Second, warm pass (separately reported): the cold pass above keeps
-    # the round-over-round methodology (single shot, JIT-cold stages);
-    # the warm numbers show steady-state throughput without the
-    # first-run JIT/codegen cost that dominates short queries and varies
-    # 2-5x with host-window noise.
-    warm: dict[str, float] = {}
-    t0 = time.perf_counter()
-    validated = validate_source_table(spark.read.parquet(src_path))
-    _materialize(partition_ledger(validated))
-    t_flag_warm = time.perf_counter() - t0
-    warm["flagship_validation"] = round(t_flag_warm, 3)
-    for name in HEADLINE:
+    # Warm passes, BEST-OF-3 with recorded spread (separately reported):
+    # the cold pass above keeps the round-over-round methodology (single
+    # shot, JIT-cold stages), but single-shot numbers on this shared
+    # host swing 2-5x with co-tenant windows (r02's warm pass came out
+    # SLOWER than cold — pure noise). Best-of-3 + min/max spread makes
+    # regressions attributable: a real regression moves the MIN; noise
+    # only widens the spread.
+    runs: list[dict[str, float]] = []
+    for _ in range(3):
+        w: dict[str, float] = {}
         t0 = time.perf_counter()
-        _materialize(qs[name](spark, SF_DIR))
-        warm[name] = round(time.perf_counter() - t0, 3)
+        validated = validate_source_table(spark.read.parquet(src_path))
+        _materialize(partition_ledger(validated))
+        w["flagship_validation"] = time.perf_counter() - t0
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            _materialize(qs[name](spark, SF_DIR))
+            w[name] = time.perf_counter() - t0
+        runs.append(w)
+    warm = {k: round(min(r[k] for r in runs), 3) for k in runs[0]}
+    spread = {k: [round(min(r[k] for r in runs), 3),
+                  round(max(r[k] for r in runs), 3)] for k in runs[0]}
+    t_flag_warm = warm["flagship_validation"]
 
     print(json.dumps({
         "metric": "bench_total",
@@ -116,6 +124,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "queries_warm": warm,
+        "queries_warm_spread": spread,
         "warm_total": round(sum(warm.values()), 3),
         "sf": sf,
         "files_per_sec": round(rows / t_flag, 1),

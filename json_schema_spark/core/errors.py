@@ -115,9 +115,12 @@ def error_kind_of(keyword: str) -> ErrorKind:
 
 
 def error_kind_col(keyword: Column) -> Column:
-    """Column expression mapping a violation keyword to its kind — a
-    literal CASE chain, whole-stage codegen, no UDF."""
-    expr = F.lit(ErrorKind.OTHER.value)
+    """Column expression mapping a violation keyword to its kind — an
+    O(1)-ish literal-map lookup (one hash probe per row) instead of a
+    44-deep nested CASE chain, keeps generated code flat. No UDF."""
+    pairs: list[Column] = []
     for kw, kind in KEYWORD_TO_KIND.items():
-        expr = F.when(keyword == kw, F.lit(kind.value)).otherwise(expr)
-    return expr
+        pairs.append(F.lit(kw))
+        pairs.append(F.lit(kind.value))
+    lookup = F.create_map(*pairs)
+    return F.coalesce(F.element_at(lookup, keyword), F.lit(ErrorKind.OTHER.value))

@@ -23,6 +23,9 @@ __all__ = [
 ]
 
 
+_MISSING = object()
+
+
 class SchemaResolutionError(Exception):
     pass
 
@@ -146,7 +149,13 @@ class SchemaRegistry:
         # (BaseResourceLoader.java:22-60 + OriginalSpecResolver appended
         # last, SchemaBuilder.java:358-360). Driver-only I/O.
         self.loader_chain = ResourceLoaderChain(loaders, catch_all=loader)
-        self._meta_cache: dict[str, Optional[tuple[str, bool]]] = {}
+        # $id -> actual location URI ("this id really lives over there"),
+        # the id→URI external-resolver form
+        # (loaders/ExternalResolversHelper.java:1-101; the id→schema form
+        # is plain `add`)
+        self.uri_mappings: dict[str, str] = {}
+        # uri -> (dialect, fa) | None | SchemaDialectError (re-raised)
+        self._meta_cache: dict[str, Any] = {}
         self._synthetic = 0
 
     # ------------------------------------------------------------ scan
@@ -208,8 +217,11 @@ class SchemaRegistry:
         assertions when it declares the format-assertion vocabulary, and
         raise :class:`SchemaDialectError` for unknown REQUIRED
         vocabularies (``DialectResolver.java:53-79``)."""
-        if uri in self._meta_cache:
-            return self._meta_cache[uri]
+        cached = self._meta_cache.get(uri, _MISSING)
+        if cached is not _MISSING:
+            if isinstance(cached, SchemaDialectError):
+                raise cached  # keep raising on every compile, not just the first
+            return cached
         self._meta_cache[uri] = None  # cycle guard for self-referential metas
         doc = self.docs.get(uri)
         if doc is None:
@@ -226,9 +238,11 @@ class SchemaRegistry:
                         # dialect performs format assertion
                         fa = True
                     elif vuri not in _KNOWN_VOCABULARIES and required:
-                        raise SchemaDialectError(
+                        err = SchemaDialectError(
                             f"meta-schema {uri!r} requires unknown vocabulary {vuri!r}"
                         )
+                        self._meta_cache[uri] = err
+                        raise err
                 gens = [v for v in vocab if isinstance(v, str)]
                 if any("/draft/2020-12/" in v for v in gens):
                     dialect = "2020-12"
@@ -309,6 +323,14 @@ class SchemaRegistry:
 
     # --------------------------------------------------------- resolve
 
+    def add_uri_mapping(self, schema_id: str, uri: str) -> None:
+        """Map a schema ``$id`` to the URI it actually lives at; a
+        ``$ref`` to the id then loads through the loader chain from the
+        mapped location (``ExternalResolversHelper.java:1-101`` id→URI
+        form — complements ``add`` which registers the document
+        directly)."""
+        self.uri_mappings[_strip_fragment(schema_id)] = uri
+
     def base_of(self, node: Any) -> str:
         return self._base_by_nodeid.get(id(node), "")
 
@@ -322,7 +344,8 @@ class SchemaRegistry:
         doc_uri = doc_uri or base.split("#", 1)[0]
         doc = self.docs.get(doc_uri)
         if doc is None:
-            loaded = self.loader_chain(doc_uri)
+            load_uri = self.uri_mappings.get(doc_uri, doc_uri)
+            loaded = self.loader_chain(load_uri)
             if loaded is not None:
                 self.add(loaded, doc_uri)
                 # keep the request URI addressable even when the loaded

@@ -65,6 +65,19 @@ class CompileConfig:
     # SchemaBuilder.java:159-166; TypeCompiler.java:96-103,
     # Items2020CompilerFactory.java:100-130)
     treat_as_array: bool = False
+    # custom regex dialect: pattern -> search predicate (the
+    # IRegexPredicateFactory hook, common/regex/RegexFactory.java:19-22 /
+    # SchemaBuilder.setRegexFactory). When set, every `pattern` /
+    # `patternProperties` / format:"regex" compiles through it; the
+    # Column-expression path falls back to the kernel so ONE dialect
+    # governs all verdicts.
+    regex_factory: Optional[Callable[[str], Callable[[str], bool]]] = None
+    # custom contentEncoding decoders (name -> str -> bytes|None) and
+    # contentMediaType parsers (name -> str -> parsed|None), mirroring
+    # SimpleContentValidationRegistry / MimeTypeValidator registration
+    # (reference CHANGES 1.2.0). Merged over the built-ins.
+    content_encodings: dict[str, Callable[[str], Optional[bytes]]] = field(default_factory=dict)
+    content_media_types: dict[str, Callable[[str], Optional[Any]]] = field(default_factory=dict)
 
     def content_level(self, dialect: str) -> str:
         if self.content_mode == content_mod.DEFAULT:
@@ -483,13 +496,29 @@ class _Compiler:
         except re.error as e:
             raise SchemaCompileError(f"bad regex {pattern!r}: {e}") from e
 
-    def _kw_pattern(self, pattern: str) -> Callable:
+    def _regex_pred(self, pattern: str) -> Callable[[str], bool]:
+        """Search predicate for a schema regex — the custom regex
+        dialect when configured (RegexFactory hook), Python `re`
+        otherwise (Unicode classes by default, like the reference's
+        UNICODE_CHARACTER_CLASS flags)."""
+        fac = self.config.regex_factory
+        if fac is not None:
+            try:
+                pred = fac(pattern)
+            except Exception as e:
+                raise SchemaCompileError(
+                    f"custom regex dialect rejects {pattern!r}: {e}") from e
+            return pred
         rx = self._compile_regex(pattern)
+        return lambda s: rx.search(s) is not None
+
+    def _kw_pattern(self, pattern: str) -> Callable:
+        pred = self._regex_pred(pattern)
 
         def kv(inst, path, scope, ann, errors):
             if not isinstance(inst, str):
                 return True
-            if rx.search(inst):  # search semantics, not full match
+            if pred(inst):  # search semantics, not full match
                 return True
             self._err(errors, path, "pattern", f"does not match /{pattern}/")
             return False
@@ -521,6 +550,19 @@ class _Compiler:
         assert_on = self.config.format_assertions or node_assert or fn is not None
         if not assert_on:
             return None
+        if fn is None and name == "regex" and self.config.regex_factory is not None:
+            # format:"regex" = "compilable by the regex dialect in use"
+            # (FormatCompiler.java:113-121 routes through the factory)
+            fac = self.config.regex_factory
+
+            def _regex_ok(s: str) -> bool:
+                try:
+                    fac(s)
+                    return True
+                except Exception:
+                    return False
+
+            fn = _regex_ok
         fn = fn or FORMAT_VALIDATORS.get(name)
         if fn is None:
             return None  # unknown format: annotation only
@@ -541,12 +583,15 @@ class _Compiler:
         schema = node.get("contentSchema")
         sub = self._sub(schema) if schema is not None and level == content_mod.ENCODING_AND_SCHEMA else None
 
+        enc_over = self.config.content_encodings
+        mt_over = self.config.content_media_types
+
         def kv(inst, path, scope, ann, errors):
             if not isinstance(inst, str):
                 return True
             text = inst
             if encoding is not None:
-                ok, text = content_mod.decode_content(encoding, inst)
+                ok, text = content_mod.decode_content(encoding, inst, enc_over)
                 if not ok:
                     self._err(errors, path, "contentEncoding", f"invalid {encoding} content")
                     return False
@@ -555,7 +600,7 @@ class _Compiler:
                 if text is None:
                     self._err(errors, path, "contentMediaType", "content is not text")
                     return False
-                ok, parsed = content_mod.parse_media_type(media, text)
+                ok, parsed = content_mod.parse_media_type(media, text, mt_over)
                 if not ok:
                     self._err(errors, path, "contentMediaType", f"not parseable as {media}")
                     return False
@@ -665,7 +710,7 @@ class _Compiler:
         reference does this with an annotation-consuming transformer,
         ``compilers/AdditionalPropertiesCompiler.java:34-95``)."""
         prop_subs = {k: self._sub(v) for k, v in (props or {}).items()}
-        pat_subs = [(self._compile_regex(p), self._sub(v)) for p, v in (patterns or {}).items()]
+        pat_subs = [(self._regex_pred(p), self._sub(v)) for p, v in (patterns or {}).items()]
         add_sub = self._sub(additional) if additional is not None else None
 
         def kv(inst, path, scope, ann, errors):
@@ -686,7 +731,7 @@ class _Compiler:
                         if errs:
                             errors.extend(errs)
                 for rx, psub in pat_subs:
-                    if rx.search(k):
+                    if rx(k):
                         matched = True
                         s_ok, errs, _ = psub(v, path + (k,), scope)
                         if not s_ok:

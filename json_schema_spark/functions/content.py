@@ -89,10 +89,13 @@ DECODERS: dict[str, Callable[[str], Optional[bytes]]] = {
 }
 
 
-def decode_content(encoding: str, value: str) -> tuple[bool, Optional[str]]:
+def decode_content(encoding: str, value: str,
+                   extra: Optional[dict] = None) -> tuple[bool, Optional[str]]:
     """Returns (decode_ok, decoded_text). Unknown encodings pass with the
-    raw value (spec: unknown → annotation only)."""
-    dec = DECODERS.get(encoding.lower())
+    raw value (spec: unknown → annotation only). ``extra`` holds
+    user-registered decoders (SimpleContentValidationRegistry analogue)
+    consulted before the built-ins."""
+    dec = (extra or {}).get(encoding.lower()) or DECODERS.get(encoding.lower())
     if dec is None:
         return True, value
     raw = dec(value)
@@ -116,9 +119,13 @@ MEDIA_TYPE_PARSERS: dict[str, Callable[[str], Optional[Any]]] = {
 }
 
 
-def parse_media_type(media_type: str, text: str) -> tuple[bool, Optional[Any]]:
-    """Returns (parse_ok, parsed_value). Unknown media types pass."""
-    parser = MEDIA_TYPE_PARSERS.get(media_type.lower())
+def parse_media_type(media_type: str, text: str,
+                     extra: Optional[dict] = None) -> tuple[bool, Optional[Any]]:
+    """Returns (parse_ok, parsed_value). Unknown media types pass.
+    ``extra`` holds user-registered parsers (MimeTypeValidator
+    registration analogue) consulted before the built-ins."""
+    parser = ((extra or {}).get(media_type.lower())
+              or MEDIA_TYPE_PARSERS.get(media_type.lower()))
     if parser is None:
         return True, None
     if text is None:

@@ -302,6 +302,63 @@ def _bidi_ok(labels: list[str]) -> bool:
     return True
 
 
+# Joining_Type classifier for the RFC 5892 Appendix A.1/A.2 ZWNJ/ZWJ
+# contextual rules. unicodedata has no Joining_Type API, so this derives
+# it: Transparent = Mn/Me/Cf (DerivedJoiningType's blanket rule); the
+# basic Arabic block gets the exact R/U letter sets from ArabicShaping
+# (public Unicode data); other cursive scripts conservatively treat
+# letters as Dual-joining. Viramas use the exact canonical-combining
+# class 9 test (unicodedata.combining).
+_ARABIC_R = frozenset(
+    [0x0622, 0x0623, 0x0624, 0x0625, 0x0627, 0x0629, 0x062F, 0x0630, 0x0631,
+     0x0632, 0x0648]
+    + list(range(0x0671, 0x0674))       # alef wasla + variants
+    + list(range(0x0675, 0x0678))       # high-hamza alef/waw/yu
+    + list(range(0x0688, 0x069A))       # dal / reh variants
+    + [0x06C0] + list(range(0x06C3, 0x06CC)) + [0x06CD, 0x06CF, 0x06D2, 0x06D3,
+       0x06D5, 0x06EE, 0x06EF]
+)
+_CURSIVE_RANGES = (
+    (0x0600, 0x06FF), (0x0700, 0x074F), (0x0750, 0x077F), (0x07C0, 0x07FF),
+    (0x0840, 0x085F), (0x08A0, 0x08FF), (0x1800, 0x18AF), (0xA840, 0xA87F),
+    (0xFB50, 0xFDFF), (0xFE70, 0xFEFF),
+    (0x10AC0, 0x10AFF), (0x10B80, 0x10BAF), (0x10D00, 0x10D3F),
+    (0x10F30, 0x10F6F), (0x1E900, 0x1E95F),
+)
+
+
+def _joining_type(ch: str) -> str:
+    import unicodedata as _ud
+
+    cp = ord(ch)
+    if cp in (0x200C, 0x200D):
+        return "U"
+    cat = _ud.category(ch)
+    if cat in ("Mn", "Me", "Cf"):
+        return "T"
+    if 0x0600 <= cp <= 0x06FF:
+        if cp in (0x0621, 0x0674):
+            return "U"  # hamza / high hamza: non-joining
+        if cp in _ARABIC_R:
+            return "R"
+        if cat.startswith("L") or cp == 0x0640:  # letters + tatweel
+            return "D"
+        return "U"
+    if any(lo <= cp <= hi for lo, hi in _CURSIVE_RANGES) and cat.startswith("L"):
+        return "D"  # conservative: other cursive-script letters join both ways
+    return "U"
+
+
+def _zwnj_context_ok(label: str, idx: int) -> bool:
+    """RFC 5892 Appendix A.1 regex branch:
+    {L,D} T* ZWNJ T* {R,D} (the virama branch is checked separately)."""
+    prev = next((c for c in reversed(label[:idx]) if _joining_type(c) != "T"), None)
+    nxt = next((c for c in label[idx + 1:] if _joining_type(c) != "T"), None)
+    return (prev is not None and nxt is not None
+            and _joining_type(prev) in ("L", "D")
+            and _joining_type(nxt) in ("R", "D"))
+
+
 def is_idn_hostname(s: str) -> bool:
     """IDNA hostname: per-label UTS46-lite checks (length, hyphen rules,
     punycode decodability, contextual rules) plus the RFC 5893 Bidi rule
@@ -361,11 +418,15 @@ def is_idn_hostname(s: str) -> bool:
                     return False
                 if label[idx - 1] != "l" or label[idx + 1] != "l":
                     return False
-            if ch in ("‌", "‍"):  # ZWNJ/ZWJ need joining context
+            if ch == "‌":  # ZWNJ: RFC 5892 Appendix A.1
                 if idx == 0:
                     return False
-                prev = label[idx - 1]
-                if prev != "्" and not ("؀" <= prev <= "ۿ"):
+                # virama branch (ccc == 9, any Indic script) OR the
+                # joining-type regex branch {L,D} T* ZWNJ T* {R,D}
+                if _ud.combining(label[idx - 1]) != 9 and not _zwnj_context_ok(label, idx):
+                    return False
+            if ch == "‍":  # ZWJ: RFC 5892 Appendix A.2 — virama only
+                if idx == 0 or _ud.combining(label[idx - 1]) != 9:
                     return False
             if ch == "׳" or ch == "״":  # geresh/gershayim after Hebrew
                 if idx == 0 or not ("֐" <= label[idx - 1] <= "׿"):

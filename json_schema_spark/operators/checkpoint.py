@@ -83,7 +83,15 @@ class ResumableRun:
                     F.lit("0"),
                 ).alias("digest_xor64"),
             )
-            out.write.mode("append").parquet(self.out_dir)
+            # Dynamic partition overwrite: a rerun of a bucket whose
+            # data landed but whose manifest append crashed REPLACES the
+            # bucket directory instead of appending duplicates — the
+            # write is idempotent per bucket, so the manifest always
+            # certifies exactly what is on disk.
+            (out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__bucket")
+                .parquet(self.out_dir))
             stats = obs.get
             manifest = spark.createDataFrame(
                 [(b, stats["rows"], stats["violation_rows"], stats["digest_xor64"],
@@ -96,6 +104,40 @@ class ResumableRun:
 
     def manifest(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.manifest_dir)
+
+    def reconcile(self, spark: SparkSession) -> DataFrame:
+        """Offline audit: recompute per-bucket stats from what is on
+        disk and return buckets whose manifest row disagrees.
+
+        The per-bucket write is idempotent (dynamic partition overwrite)
+        so duplicated DATA cannot survive a crash-rerun; the residual
+        risk is observe() metrics double-counting under speculative
+        task duplication — this read-back catches that without putting
+        an extra job on the hot path (``run`` stays 2 jobs/bucket)."""
+        disk = (
+            spark.read.parquet(self.out_dir)
+            .groupBy(F.col("__bucket").cast("int").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("disk_rows"),
+                F.coalesce(F.sum((~F.col("valid")).cast("long")), F.lit(0))
+                .alias("disk_violation_rows"),
+                F.coalesce(
+                    F.expr("conv(cast(bit_xor(xxhash64(cast(" + self.key_col +
+                           " as string), cast(valid as string))) as string), 10, 16)"),
+                    F.lit("0"),
+                ).alias("disk_digest_xor64"),
+            )
+        )
+        man = self.manifest(spark).select("bucket", "rows", "violation_rows",
+                                          "digest_xor64")
+        return (
+            man.join(disk, "bucket", "full_outer")
+            .filter(
+                ~(F.col("rows").eqNullSafe(F.col("disk_rows"))
+                  & F.col("violation_rows").eqNullSafe(F.col("disk_violation_rows"))
+                  & F.col("digest_xor64").eqNullSafe(F.col("disk_digest_xor64")))
+            )
+        )
 
     def results(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.out_dir)

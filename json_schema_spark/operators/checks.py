@@ -116,12 +116,18 @@ def uniqueness_report(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Aggregate verdict: total rows, distinct keys, duplicate keys,
     duplicated rows — all four derived from ONE ``groupBy(keys).count()``
     pass (map-side partial counts, then a final narrow reduce of one row
-    per distinct key) instead of scanning the table twice."""
+    per distinct key) instead of scanning the table twice.
+
+    NULL-key semantics match SQL ``COUNT(DISTINCT keys)``: rows where
+    any key is NULL are counted in ``row_count`` but excluded from
+    ``distinct_keys``/``duplicate_keys``/``duplicated_rows`` (SQL NULLs
+    are pairwise unequal, so a NULL-key group is not a duplicate)."""
     per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
-    dup = F.col("c") > 1
+    key_ok = reduce(lambda a, b: a & b, [F.col(k).isNotNull() for k in keys])
+    dup = key_ok & (F.col("c") > 1)
     return per_key.agg(
         F.sum("c").alias("row_count"),
-        F.count(F.lit(1)).alias("distinct_keys"),
+        F.sum(key_ok.cast("long")).alias("distinct_keys"),
         F.sum(dup.cast("long")).alias("duplicate_keys"),
         F.coalesce(F.sum(F.when(dup, F.col("c"))), F.lit(0)).alias("duplicated_rows"),
     )

@@ -89,39 +89,54 @@ def partition_ledger(validated: DataFrame, key_col: str = "row_id",
             F.array(),
         ).alias("vkeys"),
     )
+    if part_col is not None:
+        # co-locate each logical bucket in one physical partition so its
+        # sorted-line digest is computed whole (identical to the untimed
+        # path and stable across input repartitionings); the slim
+        # projection keeps the shuffle to 4 narrow columns
+        slim = slim.repartition("pid")
 
     def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Group by the ledger id WITHIN the kernel: with part_col, one
+        # physical partition can carry several logical buckets (they
+        # only align after an explicit repartition, which we don't
+        # require) — labeling the whole partition with the first id
+        # would lump buckets together. elapsed_ms is the physical
+        # partition's wall clock, attributed to each bucket it carried.
         t0 = time.perf_counter()
-        pid = None
-        rows = valid_rows = viol_rows = viols = 0
-        lines: list[str] = []
+        acc: dict[int, list] = {}  # pid -> [rows, valid, viol_rows, viols, lines]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            pid = int(pdf["pid"].iloc[0])
-            rows += len(pdf)
             v = pdf["valid"].fillna(False)
-            valid_rows += int(v.sum())
-            viol_rows += int((~v).sum())
-            for k, vk in zip(pdf["k"], pdf["vkeys"]):
+            for pid_, ok, k, vk in zip(pdf["pid"], v, pdf["k"], pdf["vkeys"]):
+                st = acc.setdefault(int(pid_), [0, 0, 0, 0, []])
+                st[0] += 1
+                if ok:
+                    st[1] += 1
+                else:
+                    st[2] += 1
                 if vk is not None and len(vk):
-                    viols += len(vk)
-                    lines.extend(f"{k}|{x}" for x in vk)
-        if pid is None:
+                    st[3] += len(vk)
+                    st[4].extend(f"{k}|{x}" for x in vk)
+        if not acc:
             return
-        lines.sort()
-        digest = hashlib.sha256("\n".join(lines).encode()).hexdigest()
-        yield pd.DataFrame(
-            {
-                "partition_id": [pid],
-                "rows_scanned": [rows],
-                "valid_rows": [valid_rows],
-                "violation_rows": [viol_rows],
-                "violations": [viols],
-                "elapsed_ms": [(time.perf_counter() - t0) * 1000.0],
-                "violations_sha256": [digest],
-            }
-        )
+        elapsed = (time.perf_counter() - t0) * 1000.0
+        out = {"partition_id": [], "rows_scanned": [], "valid_rows": [],
+               "violation_rows": [], "violations": [], "elapsed_ms": [],
+               "violations_sha256": []}
+        for pid_ in sorted(acc):
+            rows, valid_rows, viol_rows, viols, lines = acc[pid_]
+            lines.sort()
+            out["partition_id"].append(pid_)
+            out["rows_scanned"].append(rows)
+            out["valid_rows"].append(valid_rows)
+            out["violation_rows"].append(viol_rows)
+            out["violations"].append(viols)
+            out["elapsed_ms"].append(elapsed)
+            out["violations_sha256"].append(
+                hashlib.sha256("\n".join(lines).encode()).hexdigest())
+        yield pd.DataFrame(out)
 
     return slim.mapInPandas(per_partition, schema=LEDGER_SCHEMA)
 

@@ -112,11 +112,17 @@ class _BaseCompiler:
     """Shared combinator / dispatch logic for both encodings."""
 
     def __init__(self, registry: SchemaRegistry, dialect: str = "draft7",
-                 format_assertions: bool = False, content_asserts: bool = False):
+                 format_assertions: bool = False, content_asserts: bool = False,
+                 regex_factory: Optional[Callable] = None):
         self.registry = registry
         self.dialect = dialect
         self.format_assertions = format_assertions
         self.content_asserts = content_asserts
+        # a user-supplied regex predicate factory governs pattern
+        # semantics — rlike (Java dialect) can no longer stand in, so
+        # every regex-bearing schema must go to the kernel
+        self.regex_factory = regex_factory
+        self.custom_regex_dialect = regex_factory is not None
         self._ref_stack: list[int] = []
 
     # -- helpers -----------------------------------------------------
@@ -137,11 +143,22 @@ class _BaseCompiler:
         return F.when(dec.isNotNull(), build(dec)).otherwise(build(dbl))
 
     def _regex(self, pattern: str) -> str:
+        if self.custom_regex_dialect:
+            raise ExprUnsupported("custom regex dialect needs the UDF kernel")
         try:
             re.compile(pattern)
         except re.error as e:
             raise ExprUnsupported(f"regex not compilable: {pattern!r}: {e}") from e
         return pattern
+
+    def _jrx(self, pattern: str) -> str:
+        """Pattern for the JVM `rlike` side: validated, with Java's
+        embedded UNICODE_CHARACTER_CLASS flag prepended so `\\d`/`\\w`
+        match Unicode digits/letters — parity with the reference
+        (every pattern compiled with UNICODE_CASE |
+        UNICODE_CHARACTER_CLASS, ``common/regex/RegexFactory.java:20``)
+        and with the Python kernel, whose `re` is Unicode by default."""
+        return "(?U)" + self._regex(pattern)
 
     def _guard_keywords(self, node: dict) -> None:
         for kw in _UNSUPPORTED_KEYWORDS:
@@ -233,7 +250,7 @@ class _BaseCompiler:
         if "pattern" in node:
             rx = self._regex(node["pattern"])
             s = self.v_as_string(val)
-            checks.append(Check(_nn(self.v_is_string(val) & ~_nn(s.rlike(rx))), p,
+            checks.append(Check(_nn(self.v_is_string(val) & ~_nn(s.rlike(self._jrx(rx)))), p,
                                 "pattern", f"does not match /{rx}/"))
         if "minLength" in node:
             s = self.v_as_string(val)
@@ -246,7 +263,7 @@ class _BaseCompiler:
         if "format" in node and self.format_assertions:
             rx = FORMAT_REGEXES[node["format"]]
             s = self.v_as_string(val)
-            checks.append(Check(_nn(self.v_is_string(val) & ~_nn(s.rlike(rx))), p,
+            checks.append(Check(_nn(self.v_is_string(val) & ~_nn(s.rlike("(?U)" + rx))), p,
                                 "format", f"not a valid {node['format']}"))
 
         checks.extend(self._object_keywords(node, val, path))
@@ -406,6 +423,43 @@ class _BaseCompiler:
     def _c_unevaluated_items(self, sub, covered: int, val,
                              path: tuple) -> list[Check]: ...
 
+    def _string_pred(self, sub: Any) -> Callable[[Column], Column]:
+        """propertyNames subschema as a predicate over plain string keys
+        (shared by the variant map path and the typed-row map path)."""
+        if sub is True or sub == {}:
+            return lambda k: F.lit(True)
+        if sub is False:
+            return lambda k: F.lit(False)
+        if not isinstance(sub, dict):
+            raise ExprUnsupported("bad propertyNames schema")
+        allowed = {"pattern", "minLength", "maxLength", "enum", "const", "type",
+                   "format", "$comment", "title", "description"}
+        if set(sub) - allowed:
+            raise ExprUnsupported(f"propertyNames keywords {set(sub) - allowed} need the UDF kernel")
+
+        def pred(k: Column) -> Column:
+            ok = F.lit(True)
+            if sub.get("type") not in (None, "string"):
+                return F.lit(False)
+            if "pattern" in sub:
+                ok = ok & _nn(k.rlike(self._jrx(sub["pattern"])))
+            if "minLength" in sub:
+                ok = ok & (F.length(k) >= int(sub["minLength"]))
+            if "maxLength" in sub:
+                ok = ok & (F.length(k) <= int(sub["maxLength"]))
+            if "enum" in sub:
+                ok = ok & k.isin([m for m in sub["enum"] if isinstance(m, str)])
+            if "const" in sub:
+                ok = ok & (k == F.lit(sub["const"]))
+            if "format" in sub and self.format_assertions:
+                rx = FORMAT_REGEXES.get(sub["format"])
+                if rx is None:
+                    raise ExprUnsupported(f"format {sub['format']!r} in propertyNames")
+                ok = ok & _nn(k.rlike("(?U)" + rx))
+            return ok
+
+        return pred
+
     def _c_enum(self, members: list, val, p: str, kw: str) -> Check:
         conds = []
         for m in members:
@@ -533,12 +587,12 @@ class VariantCompiler(_BaseCompiler):
             keys = F.map_keys(self._as_map(v))
             checks.append(Check(_nn(is_obj & ~_nn(F.forall(keys, ok_fn))), p,
                                 "propertyNames", "invalid property name"))
-        pat_rx = [self._regex(rx) for rx in (node.get("patternProperties") or {})]
+        pat_rx = [self._jrx(rx) for rx in (node.get("patternProperties") or {})]
         if "patternProperties" in node:
             for rx, sub in node["patternProperties"].items():
                 sub_ok = self._value_pred(sub, path)
                 m = self._as_map(v)
-                keys = F.filter(F.map_keys(m), lambda k: _nn(k.rlike(self._regex(rx))))
+                keys = F.filter(F.map_keys(m), lambda k: _nn(k.rlike(self._jrx(rx))))
                 all_ok = F.forall(keys, lambda k: sub_ok(F.element_at(m, k)))
                 checks.append(Check(_nn(is_obj & ~_nn(all_ok)), p, "patternProperties",
                                     f"value of property matching /{rx}/ invalid"))
@@ -637,7 +691,7 @@ class VariantCompiler(_BaseCompiler):
         p = self._ptr(path)
         is_obj = self.v_type_is(v, "object")
         m = self._as_map(v)
-        rxs = [self._regex(rx) for rx in pats]
+        rxs = [self._jrx(rx) for rx in pats]
         names_l = sorted(names)
 
         def is_uneval(k):
@@ -681,43 +735,6 @@ class VariantCompiler(_BaseCompiler):
             return ok_of(self.compile(sub, el, path))
 
         return pred
-
-    def _string_pred(self, sub: Any) -> Callable[[Column], Column]:
-        """propertyNames subschema over plain string keys."""
-        if sub is True or sub == {}:
-            return lambda k: F.lit(True)
-        if sub is False:
-            return lambda k: F.lit(False)
-        if not isinstance(sub, dict):
-            raise ExprUnsupported("bad propertyNames schema")
-        allowed = {"pattern", "minLength", "maxLength", "enum", "const", "type",
-                   "format", "$comment", "title", "description"}
-        if set(sub) - allowed:
-            raise ExprUnsupported(f"propertyNames keywords {set(sub) - allowed} need the UDF kernel")
-
-        def pred(k: Column) -> Column:
-            ok = F.lit(True)
-            if sub.get("type") not in (None, "string"):
-                return F.lit(False)
-            if "pattern" in sub:
-                ok = ok & _nn(k.rlike(self._regex(sub["pattern"])))
-            if "minLength" in sub:
-                ok = ok & (F.length(k) >= int(sub["minLength"]))
-            if "maxLength" in sub:
-                ok = ok & (F.length(k) <= int(sub["maxLength"]))
-            if "enum" in sub:
-                ok = ok & k.isin([m for m in sub["enum"] if isinstance(m, str)])
-            if "const" in sub:
-                ok = ok & (k == F.lit(sub["const"]))
-            if "format" in sub and self.format_assertions:
-                rx = FORMAT_REGEXES.get(sub["format"])
-                if rx is None:
-                    raise ExprUnsupported(f"format {sub['format']!r} in propertyNames")
-                ok = ok & _nn(k.rlike(rx))
-            return ok
-
-        return pred
-
 
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _NUMERIC = _INTEGRAL + (T.FloatType, T.DoubleType, T.DecimalType)
@@ -830,6 +847,33 @@ class TypedRowCompiler(_BaseCompiler):
         child = self._field(val, name)
         return _nn(self.v_present(val) & self.v_present(child))
 
+    def _name_kernel(self):
+        """Lazily built Python-kernel compiler used to evaluate
+        propertyNames subschemas against the STATIC field-name set at
+        compile time (names are compile-time constants in typed mode,
+        so the subschema runs zero times at runtime)."""
+        if getattr(self, "_nk", None) is None:
+            from ..core.validator import CompileConfig as _KCfg, _Compiler as _K
+
+            self._nk = _K(self.registry, _KCfg(
+                dialect=self.dialect,
+                format_assertions=self.format_assertions,
+                collect_errors=False,
+                regex_factory=self.regex_factory,
+            ))
+        return self._nk
+
+    def _name_ok(self, sub: Any, name: str) -> bool:
+        try:
+            fn = self._name_kernel().compile_node(sub)
+            return bool(fn(name, (), ())[0])
+        except ExprUnsupported:
+            raise
+        except Exception as e:
+            raise ExprUnsupported(
+                f"propertyNames subschema not evaluable at compile time: {e}"
+            ) from e
+
     def _object_keywords(self, node: dict, val, path: tuple) -> list[Check]:
         checks: list[Check] = []
         p = self._ptr(path)
@@ -842,22 +886,151 @@ class TypedRowCompiler(_BaseCompiler):
         if "properties" in node:
             for name, sub in node["properties"].items():
                 checks.extend(self.compile(sub, self._field(val, name), path + (name,)))
-        for kw in ("minProperties", "maxProperties", "patternProperties",
-                   "propertyNames", "additionalProperties"):
-            if kw in node and fields is None and not isinstance(dt, T.MapType):
-                # struct columns have a static property set; additional*
-                # is vacuous, counts are static — only reject what we
-                # cannot statically guarantee
-                if kw in ("patternProperties", "propertyNames"):
-                    raise ExprUnsupported(f"{kw} on typed rows needs a map column")
-        if isinstance(dt, T.MapType) if fields is None else False:
-            m = col
+        if fields is not None or isinstance(dt, T.StructType):
+            checks.extend(self._static_object_keywords(node, val, path))
+        elif isinstance(dt, T.MapType):
+            checks.extend(self._map_object_keywords(node, val, path))
+        # any other column type: the value can never be a JSON object,
+        # so object keywords are type-gated no-ops
+        # (compilers/MinPropertiesCompiler.java:32-47 — non-objects pass)
+        return checks
+
+    def _static_object_keywords(self, node: dict, val, path: tuple) -> list[Check]:
+        """minProperties / maxProperties / patternProperties /
+        propertyNames / additionalProperties over a STATIC field set
+        (root fields dict or a struct column). The field-name set is a
+        compile-time constant, but PRESENCE is dynamic (NULL = absent,
+        the typed-mode convention), so property counts compile to sums
+        of presence casts and name-matched subschemas attach to the
+        matching fields — never silently skipped (round-2 wrong-answer
+        fix; reference semantics: MinPropertiesCompiler.java:32-47,
+        PatternPropertiesCompiler.java:33-69)."""
+        checks: list[Check] = []
+        p = self._ptr(path)
+        col, dt, fields = val
+        if fields is not None:
+            field_names = list(fields.keys())
+        else:
+            field_names = [f.name for f in dt.fields]
+        is_obj = self.v_present(val)
+
+        if "minProperties" in node or "maxProperties" in node:
+            if field_names:
+                cnt = reduce(
+                    lambda a, b: a + b,
+                    [self.v_present(self._field(val, n)).cast("int") for n in field_names],
+                )
+            else:
+                cnt = F.lit(0)
             if "minProperties" in node:
-                checks.append(Check(_nn(self.v_present(val) & (F.size(m) < int(node["minProperties"]))),
-                                    p, "minProperties", "too few properties"))
+                checks.append(Check(
+                    _nn(is_obj & (cnt < int(node["minProperties"]))), p,
+                    "minProperties", f"fewer than {node['minProperties']} properties"))
             if "maxProperties" in node:
-                checks.append(Check(_nn(self.v_present(val) & (F.size(m) > int(node["maxProperties"]))),
-                                    p, "maxProperties", "too many properties"))
+                checks.append(Check(
+                    _nn(is_obj & (cnt > int(node["maxProperties"]))), p,
+                    "maxProperties", f"more than {node['maxProperties']} properties"))
+
+        pats = node.get("patternProperties") or {}
+        if pats:
+            for rx, sub in pats.items():
+                crx = re.compile(self._regex(rx))  # Python re: Unicode classes, search semantics
+                for n in field_names:
+                    if crx.search(n):
+                        checks.extend(self.compile(sub, self._field(val, n), path + (n,)))
+
+        if "propertyNames" in node:
+            sub = node["propertyNames"]
+            for n in field_names:
+                if not self._name_ok(sub, n):
+                    checks.append(Check(
+                        _nn(is_obj & self.v_present(self._field(val, n))), p,
+                        "propertyNames", f"invalid property name {n!r}"))
+
+        if "additionalProperties" in node:
+            known = set((node.get("properties") or {}).keys())
+            crxs = [re.compile(self._regex(r)) for r in pats]
+            extra = [n for n in field_names
+                     if n not in known and not any(r.search(n) for r in crxs)]
+            sub = node["additionalProperties"]
+            for n in extra:
+                child = self._field(val, n)
+                if sub is False:
+                    checks.append(Check(
+                        _nn(is_obj & self.v_present(child)), p,
+                        "additionalProperties", f"additional property {n!r} present"))
+                elif sub is not True and sub != {}:
+                    checks.extend(self.compile(sub, child, path + (n,)))
+        return checks
+
+    def _map_object_keywords(self, node: dict, val, path: tuple) -> list[Check]:
+        """Object keywords over a map column: the key set is dynamic, so
+        counts/name checks run over the PRESENT keys (entries with
+        non-NULL values — NULL map values mean absent, consistent with
+        the typed-row convention everywhere else)."""
+        checks: list[Check] = []
+        p = self._ptr(path)
+        col, dt, fields = val
+        needs_names = any(k in node for k in
+                          ("patternProperties", "propertyNames", "additionalProperties"))
+        if needs_names and not isinstance(dt.keyType, T.StringType):
+            raise ExprUnsupported("name-matching object keywords need string map keys")
+        m = col
+        present_keys = F.filter(F.map_keys(m),
+                                lambda k: F.element_at(m, k).isNotNull())
+        is_obj = self.v_present(val)
+        vt = dt.valueType
+
+        def value_pred(sub):
+            def pred(el: Column) -> Column:
+                return ok_of(self.compile(sub, (el, vt, None), path))
+            return pred
+
+        if "minProperties" in node:
+            checks.append(Check(
+                _nn(is_obj & (F.size(present_keys) < int(node["minProperties"]))), p,
+                "minProperties", f"fewer than {node['minProperties']} properties"))
+        if "maxProperties" in node:
+            checks.append(Check(
+                _nn(is_obj & (F.size(present_keys) > int(node["maxProperties"]))), p,
+                "maxProperties", f"more than {node['maxProperties']} properties"))
+        if "propertyNames" in node:
+            name_ok = self._string_pred(node["propertyNames"])
+            checks.append(Check(
+                _nn(is_obj & ~_nn(F.forall(present_keys, name_ok))), p,
+                "propertyNames", "invalid property name"))
+        pat_rx = [self._jrx(rx) for rx in (node.get("patternProperties") or {})]
+        if "patternProperties" in node:
+            for rx, sub in node["patternProperties"].items():
+                sub_ok = value_pred(sub)
+                keys = F.filter(present_keys, lambda k: _nn(k.rlike(self._jrx(rx))))
+                all_ok = F.forall(keys, lambda k: sub_ok(F.element_at(m, k)))
+                checks.append(Check(
+                    _nn(is_obj & ~_nn(all_ok)), p, "patternProperties",
+                    f"value of property matching /{rx}/ invalid"))
+        if "additionalProperties" in node:
+            known = list((node.get("properties") or {}).keys())
+
+            def is_additional(k):
+                cond = F.lit(True)
+                if known:
+                    cond = cond & ~k.isin(known)
+                for rx in pat_rx:
+                    cond = cond & ~_nn(k.rlike(rx))
+                return cond
+
+            extra = F.filter(present_keys, is_additional)
+            sub = node["additionalProperties"]
+            if sub is False:
+                checks.append(Check(
+                    _nn(is_obj & (F.size(extra) > 0)), p,
+                    "additionalProperties", "additional properties present"))
+            elif sub is not True and sub != {}:
+                sub_ok = value_pred(sub)
+                all_ok = F.forall(extra, lambda k: sub_ok(F.element_at(m, k)))
+                checks.append(Check(
+                    _nn(is_obj & ~_nn(all_ok)), p,
+                    "additionalProperties", "an additional property is invalid"))
         return checks
 
     def _array_keywords(self, node: dict, val, path: tuple) -> list[Check]:
@@ -934,7 +1107,7 @@ class TypedRowCompiler(_BaseCompiler):
         elif isinstance(dt, T.StructType):
             field_names = [f.name for f in dt.fields]
         elif isinstance(dt, T.MapType):
-            raise ExprUnsupported("unevaluatedProperties on map columns needs the UDF kernel")
+            return self._map_unevaluated_props(sub, names, pats, val, path)
         else:
             return []  # non-object: keyword no-ops
         rxs = [re.compile(self._regex(r)) for r in pats]
@@ -950,6 +1123,44 @@ class TypedRowCompiler(_BaseCompiler):
             elif sub is not True and sub != {}:
                 checks.extend(self.compile(sub, child, path + (n,)))
         return checks
+
+    def _map_unevaluated_props(self, sub, names: set, pats: list, val, path) -> list[Check]:
+        """unevaluatedProperties over a typed map column — same
+        set-difference shape as the variant path, restricted to present
+        (non-NULL-valued) keys."""
+        col, dt, fields = val
+        p = self._ptr(path)
+        if not isinstance(dt.keyType, T.StringType):
+            raise ExprUnsupported("unevaluatedProperties needs string map keys")
+        m = col
+        is_obj = self.v_present(val)
+        vt = dt.valueType
+        rxs = [self._jrx(rx) for rx in pats]
+        names_l = sorted(names)
+        present_keys = F.filter(F.map_keys(m),
+                                lambda k: F.element_at(m, k).isNotNull())
+
+        def is_uneval(k):
+            cond = F.lit(True)
+            if names_l:
+                cond = cond & ~k.isin(names_l)
+            for rx in rxs:
+                cond = cond & ~_nn(k.rlike(rx))
+            return cond
+
+        extra = F.filter(present_keys, is_uneval)
+        if sub is False:
+            return [Check(_nn(is_obj & (F.size(extra) > 0)), p, "unevaluatedProperties",
+                          "unevaluated properties present")]
+        if sub is True or sub == {}:
+            return []
+
+        def sub_ok(el: Column) -> Column:
+            return ok_of(self.compile(sub, (el, vt, None), path))
+
+        all_ok = F.forall(extra, lambda k: sub_ok(F.element_at(m, k)))
+        return [Check(_nn(is_obj & ~_nn(all_ok)), p, "unevaluatedProperties",
+                      "an unevaluated property is invalid")]
 
     def _c_unevaluated_items(self, sub, covered: int, val, path) -> list[Check]:
         col, dt, fields = val

@@ -43,7 +43,10 @@ _KERNEL_CACHE: dict[tuple, CompiledSchema] = {}
 def _executor_kernel(key: tuple, schema_json: str, docs_json: str, dialect: str,
                      fmt: bool, content_mode: str, collect: bool,
                      custom_formats: Optional[dict] = None,
-                     treat_as_array: bool = False) -> CompiledSchema:
+                     treat_as_array: bool = False,
+                     regex_factory=None,
+                     content_encodings: Optional[dict] = None,
+                     content_media_types: Optional[dict] = None) -> CompiledSchema:
     k = _KERNEL_CACHE.get(key)
     if k is None:
         reg = SchemaRegistry(default_dialect=dialect)
@@ -53,7 +56,10 @@ def _executor_kernel(key: tuple, schema_json: str, docs_json: str, dialect: str,
         cfg = CompileConfig(dialect=dialect, format_assertions=fmt,
                             content_mode=content_mode, collect_errors=collect,
                             custom_formats=custom_formats or {},
-                            treat_as_array=treat_as_array)
+                            treat_as_array=treat_as_array,
+                            regex_factory=regex_factory,
+                            content_encodings=content_encodings or {},
+                            content_media_types=content_media_types or {})
         k = compile_schema(json.loads(schema_json), registry=reg, config=cfg)
         _KERNEL_CACHE[key] = k
     return k
@@ -77,20 +83,32 @@ class SparkValidator:
         engine: str = "auto",  # auto | expr | udf
         custom_formats: Optional[dict] = None,  # name -> Callable[[str], bool]
         treat_as_array: bool = False,  # experimental setTryCastToArray analogue
+        regex_factory=None,  # pattern -> search predicate (RegexFactory hook)
+        content_encodings: Optional[dict] = None,  # name -> str -> bytes|None
+        content_media_types: Optional[dict] = None,  # name -> str -> parsed|None
     ):
         if isinstance(schema, str):
             schema = json.loads(schema)
         self.schema = schema
         self.engine = engine
-        # custom format predicates ride to executors inside the UDF
-        # closure (Spark pickles them) — mirrors SchemaBuilder.java:306-323
+        # custom format predicates / regex dialect / content codecs ride
+        # to executors inside the UDF closure (Spark pickles them) —
+        # mirrors SchemaBuilder.java:306-323 (formats),
+        # SchemaBuilder.setRegexFactory (RegexFactory.java:19-22) and
+        # SimpleContentValidationRegistry (CHANGES 1.2.0)
         self.custom_formats = dict(custom_formats or {})
+        self.regex_factory = regex_factory
+        self.content_encodings = {k.lower(): v for k, v in (content_encodings or {}).items()}
+        self.content_media_types = {k.lower(): v for k, v in (content_media_types or {}).items()}
         self.config = CompileConfig(
             dialect=dialect or "draft7",
             format_assertions=format_assertions,
             content_mode=content_mode,
             custom_formats=self.custom_formats,
             treat_as_array=treat_as_array,
+            regex_factory=self.regex_factory,
+            content_encodings=self.content_encodings,
+            content_media_types=self.content_media_types,
         )
         self.registry = registry or SchemaRegistry(default_dialect=self.config.dialect)
         self.root_uri = self.registry.add(schema)
@@ -107,31 +125,44 @@ class SparkValidator:
             {u: d for u, d in self.registry.docs.items()}, default=float
         )
         self._schema_json = json.dumps(schema, default=float)
-        # cache-key component distinguishing custom format sets in the
-        # long-lived executor kernel cache. Keyed by CONTENT (pickled
-        # predicate bytes), not instance identity: id() can be reused
-        # after GC (stale-entry hazard) and needlessly defeats cache
-        # sharing between identical validators.
-        if self.custom_formats:
+        # cache-key component distinguishing custom hook sets (formats,
+        # regex dialect, content codecs) in the long-lived executor
+        # kernel cache. Keyed by CONTENT (pickled bytes), not instance
+        # identity: id() can be reused after GC (stale-entry hazard) and
+        # needlessly defeats cache sharing between identical validators.
+        if (self.custom_formats or self.regex_factory is not None
+                or self.content_encodings or self.content_media_types):
             import hashlib
 
             from pyspark import cloudpickle
 
-            self._formats_key = tuple(
-                (name, hashlib.sha256(cloudpickle.dumps(fn)).hexdigest())
-                for name, fn in sorted(self.custom_formats.items())
+            def _h(fn):
+                return hashlib.sha256(cloudpickle.dumps(fn)).hexdigest()
+
+            self._formats_key = (
+                tuple((n, _h(f)) for n, f in sorted(self.custom_formats.items())),
+                _h(self.regex_factory) if self.regex_factory is not None else None,
+                tuple((n, _h(f)) for n, f in sorted(self.content_encodings.items())),
+                tuple((n, _h(f)) for n, f in sorted(self.content_media_types.items())),
             )
         else:
             self._formats_key = ()
 
     # ------------------------------------------------------ JSON mode
 
+    def _content_asserts(self) -> bool:
+        from ..functions import content as content_mod
+
+        return self.config.content_mode in (content_mod.ENCODING,
+                                            content_mod.ENCODING_AND_SCHEMA)
+
     def _expr_checks_json(self, doc: Column) -> tuple[Column, list[Check]]:
         comp = VariantCompiler(
             self.registry,
             dialect=self.dialect,
             format_assertions=self.config.format_assertions,
-            content_asserts=False,
+            content_asserts=self._content_asserts(),
+            regex_factory=self.regex_factory,
         )
         v = F.try_parse_json(doc)
         checks = comp.compile(self.schema, v, ())
@@ -158,11 +189,12 @@ class SparkValidator:
         schema_json, docs_json, dialect = self._schema_json, self._docs_json, self.dialect
         fmt, cmode = self.config.format_assertions, self.config.content_mode
         customs, taa = self.custom_formats, self.config.treat_as_array
+        rfac, cenc, cmt = self.regex_factory, self.content_encodings, self.content_media_types
 
         @F.pandas_udf(_RESULT_SCHEMA)
         def validate_batch(docs: pd.Series) -> pd.DataFrame:
             kernel = _executor_kernel(key, schema_json, docs_json, dialect, fmt, cmode, True,
-                                      customs, taa)
+                                      customs, taa, rfac, cenc, cmt)
             valids, viols = [], []
             for doc in docs:
                 if doc is None:
@@ -187,11 +219,12 @@ class SparkValidator:
         schema_json, docs_json, dialect = self._schema_json, self._docs_json, self.dialect
         fmt, cmode = self.config.format_assertions, self.config.content_mode
         customs, taa = self.custom_formats, self.config.treat_as_array
+        rfac, cenc, cmt = self.regex_factory, self.content_encodings, self.content_media_types
 
         @F.pandas_udf("boolean")
         def valid_batch(docs: pd.Series) -> pd.Series:
             kernel = _executor_kernel(key, schema_json, docs_json, dialect, fmt, cmode, False,
-                                      customs, taa)
+                                      customs, taa, rfac, cenc, cmt)
             f = kernel.is_valid_json
             return docs.map(lambda d: None if d is None else f(d))
 
@@ -215,7 +248,8 @@ class SparkValidator:
                     self.registry,
                     dialect=self.dialect,
                     format_assertions=self.config.format_assertions,
-                    content_asserts=False,
+                    content_asserts=self._content_asserts(),
+                    regex_factory=self.regex_factory,
                 )
                 tmp = "__jss_variant"
                 checks = comp.compile(self.schema, F.col(tmp), ())
@@ -252,6 +286,8 @@ class SparkValidator:
             self.registry,
             dialect=self.dialect,
             format_assertions=self.config.format_assertions,
+            content_asserts=self._content_asserts(),
+            regex_factory=self.regex_factory,
         )
         names = list(columns) if columns is not None else df.columns
         dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
@@ -262,12 +298,33 @@ class SparkValidator:
                     with_violations: bool = True) -> DataFrame:
         """Validate typed rows (one row = one document; columns =
         top-level properties). Pure Column expressions — this is the
-        flagship 100 TB path."""
-        checks = self.table_checks(df, columns)
-        out = df.withColumn("valid", ok_of(checks))
+        flagship 100 TB path.
+
+        Schemas the typed compiler cannot express (recursive $ref,
+        dynamic unevaluated*, content keywords, …) fall back to the
+        Arrow kernel over ``to_json(struct(columns))`` — Spark's JSON
+        generator drops NULL fields by default, which is exactly the
+        typed-mode NULL = absent convention. ``engine='expr'`` raises
+        instead of falling back."""
+        if self.engine in ("auto", "expr"):
+            try:
+                checks = self.table_checks(df, columns)
+                out = df.withColumn("valid", ok_of(checks))
+                if with_violations:
+                    out = out.withColumn("violations", violations_array(checks))
+                return out
+            except ExprUnsupported:
+                if self.engine == "expr":
+                    raise
+        names = list(columns) if columns is not None else df.columns
+        doc = F.to_json(F.struct(*[F.col(n) for n in names]))
         if with_violations:
-            out = out.withColumn("violations", violations_array(checks))
-        return out
+            res = self._udf_result()(doc)
+            return (df.withColumn("_res", res)
+                      .withColumn("valid", F.col("_res.valid"))
+                      .withColumn("violations", F.col("_res.violations"))
+                      .drop("_res"))
+        return df.withColumn("valid", self.udf_valid()(doc))
 
     # ------------------------------------------------------- results
 

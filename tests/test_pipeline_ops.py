@@ -115,6 +115,37 @@ def test_embedding_neardup(spark, emb):
         assert (i, i + 100000) in pairs
 
 
+def test_embedding_banded_lsh_recall_vs_allpairs(spark, emb):
+    """Banded LSH (8 bands × 12 planes = 8×4096 effective buckets) must
+    recover ≥90% of true near-dup pairs at cosine ≥ 0.98: plant 50
+    noise-perturbed twins, compare against the exact all-pairs truth.
+    Expected recall at c≈0.99 is 1-(1-(1-θ/π)^12)^8 ≈ 0.999."""
+    rng = np.random.default_rng(7)
+    base = emb.limit(50).toPandas()
+    rows = []
+    for _, r in base.iterrows():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        noise = rng.normal(0.0, 0.02 * np.linalg.norm(v) / np.sqrt(len(v)), len(v))
+        rows.append((int(r["vec_id"]) + 100000, (v + noise).tolist()))
+    near = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    pool = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")) \
+        .unionByName(near)
+    # exact all-pairs truth at tau=0.98 (numpy)
+    pdf = pool.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    E = np.array(pdf["embedding"].tolist())
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    C = En @ En.T
+    iu = np.triu_indices(len(ids), k=1)
+    truth = {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+             for i, j in zip(*iu) if C[i, j] >= 0.98}
+    assert len(truth) >= 40  # the planted twins are in the truth set
+    got = {(p["id_a"], p["id_b"]) for p in
+           embedding_neardup_pairs(pool, threshold=0.98).collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"banded LSH recall {recall:.3f} < 0.9"
+
+
 # -------------------------------------------------------------- similarity
 
 def test_brute_force_topk_matches_numpy(spark, emb):
@@ -152,6 +183,39 @@ def test_ivf_recall(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
     for q in a_by_q:  # self-match must survive probing
         assert q in a_by_q[q]
+
+
+def test_ivf_udf_path_agrees_with_unroll(spark, emb):
+    """Above max_unroll_terms the assignment switches to the
+    Arrow-batched gemm+argmax UDF; on the same (small) shape both paths
+    must produce near-identical assignments (numpy pairwise summation
+    vs left-assoc doubles can differ in the last ulp, so allow 1%)."""
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    a_unroll, _ = build_ivf(corpus, n_centroids=8, iters=2)
+    a_udf, _ = build_ivf(corpus, n_centroids=8, iters=2, max_unroll_terms=0)
+    u = {r["item_id"]: r["centroid_id"] for r in a_unroll.collect()}
+    v = {r["item_id"]: r["centroid_id"] for r in a_udf.collect()}
+    assert set(u) == set(v)
+    agree = sum(u[k] == v[k] for k in u) / len(u)
+    assert agree >= 0.99, f"only {agree:.3f} assignment agreement"
+
+
+def test_ivf_large_shape_builds_no_corpus_exchange(spark):
+    """Real-IVF shape (n_centroids=1024, dim=512 → 524k terms, far past
+    any sane SQL unroll): the build must complete and the assignment
+    plan must stay Exchange-free (one Arrow projection)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(int(i), rng.standard_normal(512).tolist()) for i in range(300)]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    assigned, cents = build_ivf(corpus, n_centroids=1024, iters=1)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan  # the gemm+argmax projection
+    n = assigned.count()
+    assert n == 300
+    assert cents.count() <= 1024
 
 
 # -------------------------------------------------------------------- text

@@ -79,3 +79,25 @@ def test_minhash_corpus_side_never_broadcast(spark, src):
         subtree = m.group(0)
         assert "array_distinct" not in subtree.split("BroadcastExchange")[1][:2000] \
             or "id_a" in subtree, "broadcasting a shingle-carrying relation"
+
+
+def test_minhash_no_pair_broadcast_above_threshold(spark, src):
+    """Verify-stage size gate (round-2 "What's wrong #3"): when the
+    candidate pair set exceeds max_broadcast_pairs, the verify join must
+    be a shuffle join — the pair set scales with corpus × dup-rate, so
+    broadcasting it is an unbounded build at the 10^12-doc target."""
+    pairs = D.minhash_lsh_pairs(
+        src.select("row_id", F.col("content").alias("text")),
+        text_col="text", id_col="row_id", threshold=0.5,
+        max_broadcast_pairs=0,  # force the above-threshold path
+    )
+    plan = _plan(pairs)
+    assert "Python" not in plan
+    import re
+
+    # the verify join (the only join keyed on bare `id`) must NOT be a
+    # broadcast join; band self-joins key on (band, bh) and may
+    # legitimately broadcast their slim (id, band, bh) side
+    assert not re.search(r"BroadcastHashJoin \[id#\d+L?\], \[id#\d+L?\]", plan), (
+        "pair relation broadcast despite exceeding max_broadcast_pairs")
+    assert re.search(r"(ShuffledHashJoin|SortMergeJoin) \[id#\d+L?\], \[id#\d+L?\]", plan)

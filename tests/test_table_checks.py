@@ -147,6 +147,49 @@ def test_ledger_fast_matches_timed(spark, table):
         assert timed[pid]["elapsed_ms"] is not None
 
 
+def test_ledger_timed_part_col_misaligned(spark, table):
+    """ADVICE r02: with part_col, logical buckets normally do NOT align
+    with physical partitions — the timed kernel must still emit one
+    correct row per bucket (it repartitions on the bucket and groups by
+    it inside the kernel), byte-identical digests to the untimed path."""
+    v = validate_source_table(table).withColumn(
+        "bucket", F.pmod(F.col("row_id"), F.lit(5)))
+    # deliberately scramble the physical layout so buckets straddle
+    # partitions before the ledger runs
+    v = v.repartition(7)
+    fast = {r["partition_id"]: r for r in
+            partition_ledger(v, key_col="row_id", part_col="bucket").collect()}
+    timed = {r["partition_id"]: r for r in
+             partition_ledger(v, key_col="row_id", part_col="bucket",
+                              timed=True).collect()}
+    assert set(fast) == set(timed) == set(range(5))
+    for pid in fast:
+        for field in ("rows_scanned", "valid_rows", "violation_rows",
+                      "violations", "violations_sha256"):
+            assert fast[pid][field] == timed[pid][field], (pid, field)
+
+
+def test_checkpoint_crash_rerun_no_duplicates(spark, tmp_path):
+    """ADVICE r02: a crash between the bucket data write and the
+    manifest append must not leave duplicate rows after the rerun — the
+    per-bucket write is a dynamic partition OVERWRITE, so the manifest
+    always certifies exactly what's on disk. reconcile() agrees."""
+    import shutil
+
+    df = source_code_table(spark, 1000, partitions=4)
+    run = ResumableRun(str(tmp_path / "runcr"), n_buckets=4)
+    validate = lambda d: validate_source_table(d, with_sha=False).select(
+        "row_id", "valid", F.to_json("violations").alias("violations_json")
+    )
+    run.run(df, validate, max_buckets=1)
+    # simulate the crash: data landed, manifest append "lost"
+    shutil.rmtree(run.manifest_dir)
+    run.run(df, validate)  # reruns ALL buckets incl. the orphaned one
+    assert run.results(spark).count() == 1000  # no duplicated bucket rows
+    assert run.results(spark).select("row_id").distinct().count() == 1000
+    assert run.reconcile(spark).count() == 0  # manifest == disk
+
+
 def test_checkpoint_resume(spark, tmp_path):
     df = source_code_table(spark, 3000, partitions=4)
     run = ResumableRun(str(tmp_path / "run"), n_buckets=8)
