@@ -254,15 +254,55 @@ def is_uri_template(s: str) -> bool:
 # ---------------------------------------------------------------- hostname
 
 _LDH_LABEL = re.compile(r"^[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?$")
+_LDH_CHARS = re.compile(r"^[0-9a-z-]+$", re.IGNORECASE)
+
+
+def _hyphens_ok(label: str) -> bool:
+    return not (label.startswith("-") or label.endswith("-"))
+
+
+def _decode_alabel(label: str) -> Optional[str]:
+    """Punycode-decode an xn-- A-label; None when not decodable."""
+    try:
+        return label[4:].encode("ascii").decode("punycode")
+    except (UnicodeError, UnicodeDecodeError):
+        return None
+
+
+def _dlh_label_ok(label: str) -> bool:
+    """ASCII LDH label per the reference's validateDLHLabel
+    (``common/email/HostnameValidator.java:131-152``): xn-- labels
+    punycode-decode and validate as unicode labels; others are LDH with
+    hyphen rules and no '--' in positions 3-4."""
+    if label.lower().startswith("xn--"):
+        decoded = _decode_alabel(label)
+        if decoded is None or not decoded:
+            return False
+        return _unicode_label_ok(decoded)
+    if not _LDH_CHARS.match(label):
+        return False
+    if not _hyphens_ok(label):
+        return False
+    return len(label) <= 3 or not label[2:].startswith("--")
 
 
 def is_hostname(s: str) -> bool:
-    if not s or len(s) > 253:
+    """RFC 1123 LDH hostname per the reference
+    (``HostnameValidator.validateHostname``): ASCII-only, ≤253 chars,
+    dot-separated non-empty labels ≤63 chars; a trailing dot makes the
+    last label empty → invalid; xn-- labels are punycode-decoded and
+    checked as unicode labels."""
+    if not s or len(s) > 253 or not s.isascii():
         return False
-    if s.endswith("."):
-        s = s[:-1]
     labels = s.split(".")
-    return all(_LDH_LABEL.match(lb) for lb in labels)
+    if not labels:
+        return False
+    for lb in labels:
+        if not lb or len(lb) > 63:
+            return False
+        if not _dlh_label_ok(lb):
+            return False
+    return True
 
 
 def _bidi_ok(labels: list[str]) -> bool:
@@ -359,129 +399,191 @@ def _zwnj_context_ok(label: str, idx: int) -> bool:
             and _joining_type(nxt) in ("R", "D"))
 
 
-def is_idn_hostname(s: str) -> bool:
-    """IDNA hostname: per-label UTS46-lite checks (length, hyphen rules,
-    punycode decodability, contextual rules) plus the RFC 5893 Bidi rule
-    and the no-leading-combining-mark rule (RFC 5891 §4.2.3).
-    Reference: ``common/email/HostnameValidator.java`` +
-    ``common/unicode/IDNA.java``."""
+_IDN_DOT = re.compile("[.\u3002\uff0e\uff61]")
+
+# CONTEXTO code points that survive the category filter only to be
+# checked positionally (RFC 5892 Appendix A; the reference's
+# CONTEXTUAL_RULES table, HostnameValidator.java:19-31)
+_CONTEXTO_EXEMPT = frozenset("\u0375")
+
+
+def _unicode_label_ok(label: str) -> bool:
+    """U-label validation, shared by idn-hostname labels and decoded
+    ``xn--`` A-labels (reference ``validateUnicodeLabel``,
+    ``HostnameValidator.java:175-207``): hyphen rules, leading-mark
+    rejection, NFC requirement (RFC 5891 §4.2.3.1 — stricter than the
+    reference, which relies on its derived-property tables alone),
+    IDNA2008 derived-property approximation, RFC 5892 contextual rules
+    with joining types."""
     import unicodedata as _ud
 
-    if not s:
+    if not label or not _hyphens_ok(label):
         return False
-    if s.endswith("."):
-        s = s[:-1]
-    decoded_labels: list[str] = []
-    for label in s.split("."):
-        if not label:
-            return False
-        if label.startswith("xn--") or label.startswith("XN--"):
-            try:
-                decoded = label[4:].encode("ascii").decode("punycode")
-            except (UnicodeError, UnicodeDecodeError):
-                return False
-            if not decoded or decoded.isascii():
-                return False
-            label = decoded
-        decoded_labels.append(label)
-        if label.isascii():
-            if not _LDH_LABEL.match(label):
+    if _ud.category(label[0]).startswith("M"):
+        return False  # leading combining mark (RFC 5891 §4.2.3.2)
+    if _ud.normalize("NFC", label) != label:
+        return False  # labels must be NFC (RFC 5891 §4.2.3.1)
+    if len(label) >= 4 and label[2] == "-" and label[3] == "-":
+        return False  # hyphens in positions 3-4 (RFC 5891 §4.2.3.1)
+    for ch in label:
+        if ch.isascii():
+            if not (ch.isalnum() or ch == "-"):
                 return False
             continue
-        if _ud.category(label[0]).startswith("M"):
-            return False  # leading combining mark (RFC 5891 §4.2.3.2)
-        if _ud.normalize("NFC", label) != label:
-            return False  # labels must be NFC (RFC 5891 §4.2.3.1)
-        for ch in label:
-            if ch.isascii() or ch in ("‌", "‍"):
-                continue  # ZWNJ/ZWJ validated contextually below
-            if _ud.normalize("NFKC", ch) != ch:
-                # compatibility-decomposable (e.g. U+2488 '⒈') —
-                # DISALLOWED by the IDNA2008 derived property
-                return False
-            if _ud.category(ch) in ("Cc", "Cf", "Co", "Cn", "Zs", "Zl", "Zp",
-                                    "So", "Sk", "Sm", "Sc", "No"):
-                return False
-        # non-ASCII label: hyphen rules
-        if label.startswith("-") or label.endswith("-"):
+        if ch in ("\u200c", "\u200d") or ch in _CONTEXTO_EXEMPT:
+            continue  # positionally validated below
+        if _ud.normalize("NFKC", ch) != ch:
+            # compatibility-decomposable (e.g. U+2488) — DISALLOWED by
+            # the IDNA2008 derived property
             return False
-        if len(label) >= 4 and label[2] == "-" and label[3] == "-":
+        if _ud.category(ch) in ("Cc", "Cf", "Co", "Cn", "Zs", "Zl", "Zp",
+                                "So", "Sk", "Sm", "Sc", "No"):
             return False
-        for idx, ch in enumerate(label):
-            cp = ord(ch)
-            # disallowed rough set: controls, spaces, symbols commonly
-            # rejected by IDNA2008
-            if cp < 0x2D or ch in "。．｡":
+    for idx, ch in enumerate(label):
+        if ch == "\u00b7":  # MIDDLE DOT needs l·l context
+            if idx == 0 or idx == len(label) - 1:
                 return False
-            if ch == "·":  # middle dot needs l···l context
-                if idx == 0 or idx == len(label) - 1:
-                    return False
-                if label[idx - 1] != "l" or label[idx + 1] != "l":
-                    return False
-            if ch == "‌":  # ZWNJ: RFC 5892 Appendix A.1
-                if idx == 0:
-                    return False
-                # virama branch (ccc == 9, any Indic script) OR the
-                # joining-type regex branch {L,D} T* ZWNJ T* {R,D}
-                if _ud.combining(label[idx - 1]) != 9 and not _zwnj_context_ok(label, idx):
-                    return False
-            if ch == "‍":  # ZWJ: RFC 5892 Appendix A.2 — virama only
-                if idx == 0 or _ud.combining(label[idx - 1]) != 9:
-                    return False
-            if ch == "׳" or ch == "״":  # geresh/gershayim after Hebrew
-                if idx == 0 or not ("֐" <= label[idx - 1] <= "׿"):
-                    return False
-            if ch == "・":  # katakana middle dot needs Japanese script
-                if not any(
-                    "぀" <= c2 <= "ヿ" or "一" <= c2 <= "鿿"
-                    for c2 in label
-                    if c2 != "・"
-                ):
-                    return False
-        # Arabic-Indic vs extended Arabic-Indic digits cannot mix
-        has_ai = any("٠" <= c <= "٩" for c in label)
-        has_eai = any("۰" <= c <= "۹" for c in label)
-        if has_ai and has_eai:
+            if label[idx - 1] != "l" or label[idx + 1] != "l":
+                return False
+        elif ch == "\u200c":  # ZWNJ: RFC 5892 Appendix A.1
+            if idx == 0:
+                return False
+            if _ud.combining(label[idx - 1]) != 9 and not _zwnj_context_ok(label, idx):
+                return False
+        elif ch == "\u200d":  # ZWJ: RFC 5892 Appendix A.2 — virama only
+            if idx == 0 or _ud.combining(label[idx - 1]) != 9:
+                return False
+        elif ch == "\u0375":  # GREEK LOWER NUMERAL SIGN: Greek follows
+            if idx == len(label) - 1 or not _is_greek(label[idx + 1]):
+                return False
+        elif ch in ("\u05f3", "\u05f4"):  # geresh/gershayim after Hebrew
+            if idx == 0 or not _is_hebrew(label[idx - 1]):
+                return False
+        elif ch == "\u30fb":  # KATAKANA MIDDLE DOT needs Japanese script
+            if not any(_is_jpn_han(c2) for c2 in label if c2 != "\u30fb"):
+                return False
+    # Arabic-Indic vs extended Arabic-Indic digits cannot mix
+    has_ai = any("\u0660" <= c <= "\u0669" for c in label)
+    has_eai = any("\u06f0" <= c <= "\u06f9" for c in label)
+    return not (has_ai and has_eai)
+
+
+def _is_greek(ch: str) -> bool:
+    return "\u0370" <= ch <= "\u03ff" or "\u1f00" <= ch <= "\u1fff"
+
+
+def _is_hebrew(ch: str) -> bool:
+    return "\u0590" <= ch <= "\u05ff" or "\ufb1d" <= ch <= "\ufb4f"
+
+
+def _is_jpn_han(ch: str) -> bool:
+    return ("\u3040" <= ch <= "\u30ff" or "\u3400" <= ch <= "\u4dbf"
+            or "\u4e00" <= ch <= "\u9fff" or "\uff66" <= ch <= "\uff9d")
+
+
+def is_idn_hostname(s: str) -> bool:
+    """IDNA hostname (reference ``validateIDNAHostname``,
+    ``HostnameValidator.java:59-93``): ≤253 chars; labels split on "."
+    and the ideographic full stops U+3002/FF0E/FF61, each non-empty and
+    ≤63; ASCII labels via the LDH/A-label path, others via
+    :func:`_unicode_label_ok`; plus the RFC 5893 Bidi rule over the
+    decoded labels (the reference omits bidi — kept here because the
+    official suite asserts it)."""
+    if not s or len(s) > 253:
+        return False
+    if s.isascii():
+        return is_hostname(s)
+    labels = _IDN_DOT.split(s)
+    if not labels:
+        return False
+    decoded_labels: list[str] = []
+    for label in labels:
+        if not label or len(label) > 63:
             return False
+        if label.isascii():
+            if not _dlh_label_ok(label):
+                return False
+            if label.lower().startswith("xn--"):
+                decoded_labels.append(_decode_alabel(label) or label)
+            else:
+                decoded_labels.append(label)
+        else:
+            if not _unicode_label_ok(label):
+                return False
+            decoded_labels.append(label)
     return _bidi_ok(decoded_labels)
 
 
 # ---------------------------------------------------------------- email
 
-_ATEXT = r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]"
-_DOT_ATOM = re.compile(rf"^{_ATEXT}+(\.{_ATEXT}+)*$")
-_QUOTED_LOCAL = re.compile(r'^"([^"\\\r\n]|\\.)*"$')
+# Port of the reference's commons-validator-derived EmailValidator with
+# allowLocal=true, allowTld=false — BOTH `email` and `idn-email` route
+# there (``compilers/FormatCompiler.java:80``,
+# ``common/email/EmailValidator.java:41-53,138-189``,
+# ``common/email/DomainValidator.java``).
+_EMAIL_SPECIAL = r"\x00-\x1f\x7f()<>@,;:'\\" + "\".\\[\\]"
+_EMAIL_VALID_CHAR = r"(?:\\.|[^\s" + _EMAIL_SPECIAL + "])"
+_EMAIL_QUOTED = r'(?:"(?:\\"|[^"])*")'
+_EMAIL_WORD = "(?:(?:" + _EMAIL_VALID_CHAR + "|')+|" + _EMAIL_QUOTED + ")"
+_EMAIL_USER_RE = re.compile("^" + _EMAIL_WORD + r"(?:\." + _EMAIL_WORD + ")*$")
+_EMAIL_RE = re.compile(r"^(.+)@(\S+)$")
+
+_DOMAIN_LABEL = r"[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+_TOP_LABEL = r"[A-Za-z](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+_DOMAIN_NAME_RE = re.compile(rf"^(?:{_DOMAIN_LABEL}\.)+{_TOP_LABEL}\.?$")
+_DOMAIN_LABEL_RE = re.compile(rf"^{_DOMAIN_LABEL}$")
 
 
-def _email_ok(s: str, idn: bool) -> bool:
-    if "@" not in s:
+def _email_unicode_to_ascii(domain: str) -> str:
+    """``DomainValidator.unicodeToASCII``: IDN ToASCII for non-ASCII
+    domains, returning the input unchanged when conversion fails (the
+    regexes then reject it)."""
+    if domain.isascii():
+        return domain
+    try:
+        return domain.encode("idna").decode("ascii")
+    except (UnicodeError, UnicodeDecodeError):
+        return domain
+
+
+def _email_domain_ok(domain: str) -> bool:
+    """``DomainValidator(allowLocal=true).isValid``: a dotted domain
+    whose TLD starts with a letter, or (local) a single LDH label."""
+    ascii_d = _email_unicode_to_ascii(domain)
+    if len(ascii_d) > 253:
         return False
-    local, _, domain = s.rpartition("@")
-    if not local or not domain or len(local) > 64:
+    if _DOMAIN_NAME_RE.fullmatch(ascii_d):
+        return True
+    return _DOMAIN_LABEL_RE.fullmatch(ascii_d) is not None
+
+
+def _email_ok(s: str) -> bool:
+    if not s or s.endswith("."):
         return False
-    if not (_DOT_ATOM.match(local) or _QUOTED_LOCAL.match(local)):
-        if idn and not local.isascii():
-            # idn-email: allow non-ASCII atext
-            if re.fullmatch(r"[^\s@\"(),:;<>\[\]\\]+(\.[^\s@\"(),:;<>\[\]\\]+)*", local):
-                pass
-            else:
-                return False
-        else:
-            return False
+    m = _EMAIL_RE.fullmatch(s)
+    if not m:
+        return False
+    user, domain = m.group(1), m.group(2)
+    if len(user) > 64 or not _EMAIL_USER_RE.fullmatch(user):
+        return False
     if domain.startswith("[") and domain.endswith("]"):
         inner = domain[1:-1]
-        if inner.lower().startswith("ipv6:"):
-            return is_ipv6(inner[5:])
-        return is_ipv4(inner)
-    return is_idn_hostname(domain) if idn else is_hostname(domain)
+        # the vendored InetAddressValidator strips an exact "IPv6:"
+        # prefix before the v6 check (InetAddressValidator.java:158-159)
+        if is_ipv4(inner):
+            return True
+        return is_ipv6(inner[5:] if inner.startswith("IPv6:") else inner)
+    return _email_domain_ok(domain)
 
 
 def is_email(s: str) -> bool:
-    return _email_ok(s, idn=False)
+    return _email_ok(s)
 
 
 def is_idn_email(s: str) -> bool:
-    return _email_ok(s, idn=True)
+    # the reference uses ONE validator for both formats
+    # (FormatCompiler.java:80)
+    return _email_ok(s)
 
 
 # ---------------------------------------------------------------- registry

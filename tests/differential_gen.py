@@ -28,9 +28,14 @@ import random
 from typing import Any
 
 KEYS = ["a", "b", "c", "k"]
-STRS = ["", "x", "ab", "abc", "hello world", "Zz9", "aXa"]
+# non-ASCII strings catch Unicode-class divergences between the Java
+# rlike path (needs the (?U) flag) and Python re (Unicode by default) —
+# Arabic-Indic digits, accented letters, combining marks, CJK
+STRS = ["", "x", "ab", "abc", "hello world", "Zz9", "aXa",
+        "٣٤", "Ünïcode", "é", "数字12", "۴۵x"]
 NUMS = [0, 1, -1, 2, 3, 5, 10, 100, 1.0, 2.5, -0.5]
-PATTERNS = ["^a", "b$", "[0-9]+", "^[a-z]{2,4}$", "c", "^Z"]
+PATTERNS = ["^a", "b$", "[0-9]+", "^[a-z]{2,4}$", "c", "^Z",
+            "^\\d+$", "\\w", "^\\d"]
 SCALARS: list[Any] = [None, True, False, *NUMS, *STRS]
 TYPES = ["null", "boolean", "integer", "number", "string", "array", "object"]
 
