@@ -214,8 +214,29 @@ def minhash_lsh_pairs(
     # broadcast BUILD blocked on exactly that recomputation (the round-2
     # cold-path regression).
     docs = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__t")
     )
+
+    def hashed_shingles(cand_docs: DataFrame) -> DataFrame:
+        """(id, sh: array<long>) — per-doc distinct xxhash64'd shingles
+        via the codegen explode/substring/collect_set pattern. Verify
+        intersects LONG arrays, not string arrays: same Jaccard (a
+        64-bit collision is negligible next to the minhash estimate the
+        candidates came from), ~4x less heap garbage and shuffle volume
+        than materializing 5-char string arrays per pair (the string
+        form measured 3-6x slower under an old-gen-full GC storm)."""
+        return (
+            cand_docs.select(
+                "id",
+                F.explode(F.sequence(
+                    F.lit(1), F.greatest(F.length("__t") - (shingle_n - 1), F.lit(1))
+                )).alias("i"),
+                "__t",
+            )
+            .select("id", F.xxhash64(
+                F.expr(f"substring(__t, i, {int(shingle_n)})"), F.lit(seed)).alias("h"))
+            .groupBy("id").agg(F.collect_set("h").alias("sh"))
+        )
     if max_broadcast_pairs is None:
         # AQE mode (default): no persist/count job. `cand` feeds both
         # the pair join and the distinct-id semi-join through the SAME
@@ -228,9 +249,7 @@ def minhash_lsh_pairs(
             F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"))
         ids = melted.select("id").distinct()
         cand_docs = docs.join(ids, "id", "left_semi")
-        shingles = cand_docs.select(
-            "id", char_shingles(F.col("__t"), shingle_n).alias("sh"))
-        joined = shingles.join(melted, "id")
+        joined = hashed_shingles(cand_docs).join(melted, "id")
     else:
         cand = cand.persist()
         n_pairs = cand.count()
@@ -245,17 +264,13 @@ def minhash_lsh_pairs(
             # Catalyst's own size estimate of the corpus side is wildly
             # low.
             cand_docs = docs.join(F.broadcast(ids), "id", "left_semi")
-            shingles = cand_docs.select(
-                "id", char_shingles(F.col("__t"), shingle_n).alias("sh"))
-            joined = shingles.join(F.broadcast(melted), "id")
+            joined = hashed_shingles(cand_docs).join(F.broadcast(melted), "id")
         else:
             # large pair set: shuffle-hash joins on id. Both sides
             # exchange, but the rows are slim and the shuffle is
             # disk-backed — no unbounded driver/executor build.
             cand_docs = docs.join(ids.hint("shuffle_hash"), "id", "left_semi")
-            shingles = cand_docs.select(
-                "id", char_shingles(F.col("__t"), shingle_n).alias("sh"))
-            joined = shingles.join(melted.hint("shuffle_hash"), "id")
+            joined = hashed_shingles(cand_docs).join(melted.hint("shuffle_hash"), "id")
     grouped = joined.groupBy("id_a", "id_b").agg(
         F.first(F.when(F.col("id") == F.col("id_a"), F.col("sh")),
                 ignorenulls=True).alias("sh_a"),

@@ -34,6 +34,16 @@ def get_spark(app: str = "json_schema_spark", cores: int | None = None,
         # (BASELINE.md round 2, run 3). On a cluster spark-submit sizes
         # executors instead.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Start G1 concurrent marking early (default IHOP 45% of 24g):
+        # mixed query sequences otherwise accumulate ~10g of old-gen
+        # garbage, and the first allocation-heavy stage after that hits
+        # a concurrent-mark/mixed-GC storm mid-stage (measured: the
+        # MinHash verify stage at 3-6x its clean time, 650s of GC pause
+        # across 32 tasks). IHOP=30 keeps marking ahead of the burst.
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                               "-XX:InitiatingHeapOccupancyPercent=30"
+                               " -XX:G1ReservePercent=15"))
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -277,6 +277,114 @@ def test_multimodal_plumbing(spark):
         image_features(imgs, decode="real").collect()
 
 
+def test_audio_features_real_wav_decode(spark):
+    """decode='real' decodes genuine 16-bit PCM WAV bytes (pure-numpy
+    RIFF walk, no codec library) — features match a local numpy ground
+    truth exactly; non-WAV bytes raise at the codec integration point."""
+    from json_schema_spark.operators.multimodal import (
+        _decode_wav_pcm16, audio_features, synth_wav_bytes)
+
+    rows = [(i, bytearray(synth_wav_bytes(i, n_samples=4000 + 100 * i)))
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, data binary")
+    got = {r["id"]: r for r in audio_features(df, decode="real").collect()}
+    for i, data in rows:
+        x, rate = _decode_wav_pcm16(bytes(data))
+        r = got[i]
+        assert r["sample_rate"] == 8000
+        assert r["n_samples"] == len(x) == 4000 + 100 * i
+        np.testing.assert_allclose(r["rms"], np.sqrt((x * x).mean()), rtol=1e-9)
+        np.testing.assert_allclose(r["peak"], np.abs(x).max(), rtol=1e-9)
+        assert 0.02 < r["zero_cross_rate"] < 0.5  # ~440 Hz tone at 8 kHz
+    # fake mode: deterministic plumbing for arbitrary bytes
+    junk = spark.createDataFrame([(9, bytearray(b"not-audio"))], "id long, data binary")
+    fk = audio_features(junk, decode="fake").collect()[0]
+    assert fk["sample_rate"] == 8000 and fk["n_samples"] == 4096
+    with pytest.raises(Exception):  # non-WAV in real mode = declared stub
+        audio_features(junk, decode="real").collect()
+
+
+def test_video_features_real_y4m_decode(spark):
+    """decode='real' decodes genuine YUV4MPEG2 bytes (pure-numpy
+    header + FRAME walk) — sampled-frame luma stats match a local
+    numpy ground truth exactly; non-Y4M bytes raise at the codec
+    integration point."""
+    from json_schema_spark.operators.multimodal import (
+        _decode_y4m, frame_sample, synth_y4m_bytes, video_features)
+
+    rows = [(i, bytearray(synth_y4m_bytes(i, n_frames=7 + 3 * i)))
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, data binary")
+    got = {}
+    for r in video_features(df, every_n=3, decode="real").collect():
+        got.setdefault(r["id"], []).append(r)
+    for i, data in rows:
+        w, h, frames = _decode_y4m(bytes(data))
+        assert (w, h, len(frames)) == (16, 8, 7 + 3 * i)
+        recs = sorted(got[i], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in recs] == list(range(0, len(frames), 3))
+        for r in recs:
+            y = frames[r["frame_idx"]].astype(np.float64)
+            assert (r["width"], r["height"]) == (16, 8)
+            np.testing.assert_allclose(r["mean_y"], y.mean(), rtol=1e-12)
+            np.testing.assert_allclose(r["std_y"], y.std(), rtol=1e-12)
+    # frame_sample real mode agrees on the sampled index set
+    fs = frame_sample(df, every_n=3, decode="real").collect()
+    assert {(r["id"], r["frame_idx"]) for r in fs} == {
+        (r["id"], r["frame_idx"]) for rs in got.values() for r in rs}
+    junk = spark.createDataFrame([(9, bytearray(b"mp4?nope"))], "id long, data binary")
+    with pytest.raises(Exception):  # compressed codecs = declared stub
+        video_features(junk, decode="real").collect()
+
+
+def test_y4m_decoder_edge_cases():
+    """Pure-unit: 4:4:4 colorspace, FRAME params, truncated payload,
+    bad markers and unsupported colorspaces raise ValueError."""
+    from json_schema_spark.operators.multimodal import _decode_y4m
+
+    y = bytes(range(16)) * 4  # 8x8 luma
+    c444 = (b"YUV4MPEG2 W8 H8 F30:1 C444\n"
+            + b"FRAME Xsome-param\n" + y + y + y)
+    w, h, frames = _decode_y4m(c444)
+    assert (w, h, len(frames)) == (8, 8, 1)
+    assert frames[0].tobytes() == y
+    trunc = b"YUV4MPEG2 W8 H8\nFRAME\n" + b"\x00" * 10
+    for bad in (trunc, b"YUV4MPEG2 H8\nFRAME\n", b"YUV4MPEG2 W8 H8\nNOTAFRAME\n",
+                b"YUV4MPEG2 W8 H8 Cmono\nFRAME\n" + b"\x00" * 64):
+        with pytest.raises(ValueError):
+            _decode_y4m(bad)
+
+
+def test_wav_decoder_edge_cases():
+    """Pure-unit coverage of the RIFF walk: stereo downmix, odd-sized
+    chunks pad to even offsets, unknown chunks are skipped, and
+    malformed/non-PCM inputs raise ValueError."""
+    from json_schema_spark.operators.multimodal import _decode_wav_pcm16
+
+    def wav(pcm: bytes, n_ch=1, rate=8000, extra_chunks=b"", fmt_code=1, bps=16):
+        fmt = (fmt_code.to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+               + rate.to_bytes(4, "little")
+               + (rate * 2 * n_ch).to_bytes(4, "little")
+               + (2 * n_ch).to_bytes(2, "little") + bps.to_bytes(2, "little"))
+        body = (b"fmt " + len(fmt).to_bytes(4, "little") + fmt + extra_chunks
+                + b"data" + len(pcm).to_bytes(4, "little") + pcm)
+        return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+    # stereo: L=+16384, R=-16384 per frame → mono mean exactly 0
+    frame = (16384).to_bytes(2, "little", signed=True) + (-16384).to_bytes(2, "little", signed=True)
+    x, rate = _decode_wav_pcm16(wav(frame * 10, n_ch=2))
+    assert rate == 8000 and len(x) == 10 and np.all(x == 0.0)
+    # odd-sized unknown chunk before data: walk must pad to even offset
+    odd = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    x, _ = _decode_wav_pcm16(wav((1000).to_bytes(2, "little", signed=True) * 4,
+                                 extra_chunks=odd))
+    assert len(x) == 4 and np.allclose(x, 1000 / 32768.0)
+    for bad in (b"", b"RIFF\x00\x00\x00\x00WAVE", wav(b"\x00\x00", fmt_code=3),
+                wav(b"\x00\x00", bps=8), b"not audio at all" * 4):
+        with pytest.raises(ValueError):
+            _decode_wav_pcm16(bad)
+
+
 def test_multimodal_real_bmp_decode(spark):
     """decode='real' decodes genuine uncompressed 24-bit BMP bytes
     (pure-numpy decoder, no codec library) — features match a local
