@@ -35,8 +35,17 @@ def column_stats(df: DataFrame, cols: Optional[Iterable[str]] = None,
 
     Single aggregation pass over the table (all columns at once), then a
     ``stack`` unpivot — one job, one shuffle-free scan + final reduce.
+
+    Exact mode Expands each row N+1 ways (one per distinct-count), so a
+    single-row-group local parquet file would pin that multiplied work
+    to one core — repartition the slim projection up to the session
+    parallelism first (a no-op at cluster scale, where the scan already
+    has ≥ parallelism splits).
     """
     names = list(cols) if cols is not None else df.columns
+    if exact_distinct:
+        from .dedup import ensure_parallelism
+        df = ensure_parallelism(df.select(*names))
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in names:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))

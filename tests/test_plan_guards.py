@@ -101,3 +101,25 @@ def test_minhash_no_pair_broadcast_above_threshold(spark, src):
     assert not re.search(r"BroadcastHashJoin \[id#\d+L?\], \[id#\d+L?\]", plan), (
         "pair relation broadcast despite exceeding max_broadcast_pairs")
     assert re.search(r"(ShuffledHashJoin|SortMergeJoin) \[id#\d+L?\], \[id#\d+L?\]", plan)
+
+
+def test_column_stats_exact_spreads_expand(spark):
+    """Exact-distinct column_stats Expands each row N+1 ways; on a
+    narrow local scan (1 partition) that multiplied work must be
+    repartitioned up to session parallelism, not pinned to one core.
+    At cluster scale the input already has >= parallelism splits and
+    no round-robin Exchange is inserted."""
+    from json_schema_spark.operators.checks import column_stats
+
+    one_part = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("a")).coalesce(1)
+    plan = _plan(column_stats(one_part, exact_distinct=True))
+    assert "Expand" in plan
+    assert "RoundRobinPartitioning" in plan, (
+        "exact-mode Expand left on a single input partition")
+    # already-parallel input: no round-robin shuffle inserted
+    wide = spark.range(1000).repartition(
+        spark.sparkContext.defaultParallelism).select(
+        F.col("id"), (F.col("id") % 7).alias("a"))
+    plan2 = _plan(column_stats(wide, exact_distinct=True))
+    assert "RoundRobinPartitioning" not in plan2.split("Expand")[0]
