@@ -354,6 +354,62 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(_tp(spark, sf_dir, "documents")).select("doc_id", "fp_sha256")
 
 
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the driver's correctness gate: binary
+    image column synthesized from doc ids (sha256-derived bytes), then
+    the Arrow-batched ``mapInPandas`` decode/feature kernel in
+    deterministic fake mode. Oracle-able because the fake pixels tile
+    the 32-byte digest of sha256(hex(sha256(id))): every image row
+    repeats the digest, so mean_luma and the 8x8 aHash collapse to
+    closed-form byte arithmetic DuckDB replicates exactly (see
+    ``_image_features_oracle_sql``)."""
+    from json_schema_spark.operators.multimodal import (
+        image_features, synth_binary_column)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    imgs = synth_binary_column(docs, id_col="doc_id", width=32, height=32)
+    return image_features(imgs, decode="fake").select(
+        "id", "width", "height", "n_bytes", "mean_luma", "phash")
+
+
+def _image_features_oracle_sql() -> str:
+    """DuckDB replica of fake-mode :func:`image_features` over
+    ``synth_binary_column(documents)``. Derivation: data =
+    utf-8(hex(sha256(id))) (64 bytes), pixels = sha256(data) digest
+    tiled to 32x32 — so every image ROW equals the digest. Hence
+    mean_luma = sum(digest)/32; the 8x8 block-mean column c is
+    g_c = mean(digest[4c..4c+3]) for every block row, and
+    phash = sum_c [g_c > mean_luma] * 0x0101010101010101 * 2^c,
+    wrapped to signed 64-bit like numpy's uint64->int64 cast."""
+    gcols = ", ".join(
+        f"sum(CASE WHEN i // 4 = {c} THEN byte END) / 4.0 AS g{c}"
+        for c in range(8))
+    phash = " + ".join(
+        f"(CASE WHEN g{c} > mean_luma THEN 72340172838076673::HUGEINT * {1 << c} "
+        "ELSE 0 END)" for c in range(8))
+    return f"""
+        WITH h AS (
+          SELECT doc_id AS id, sha256(sha256(doc_id::VARCHAR)) AS hx FROM documents
+        ),
+        b AS (
+          SELECT id, i,
+            ((strpos('0123456789abcdef', substring(hx, 2*i+1, 1)) - 1) * 16 +
+             (strpos('0123456789abcdef', substring(hx, 2*i+2, 1)) - 1))::BIGINT AS byte
+          FROM h, (SELECT unnest(range(32)) AS i)
+        ),
+        agg AS (
+          SELECT id, sum(byte) / 32.0 AS mean_luma, {gcols} FROM b GROUP BY id
+        ),
+        ph AS (SELECT id, mean_luma, ({phash}) AS ph FROM agg)
+        SELECT id, 32::INT AS width, 32::INT AS height, 64::INT AS n_bytes,
+               mean_luma,
+               (CASE WHEN ph >= 9223372036854775808::HUGEINT
+                     THEN ph - 18446744073709551616::HUGEINT ELSE ph END)::BIGINT
+                 AS phash
+        FROM ph
+    """
+
+
 def _q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,2)")
@@ -417,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_documents": _q_text_stats,
         "language_id_documents": _q_lang_id,
         "fingerprint_documents": _q_fingerprint,
+        "image_features_documents": _q_image_features,
         "agg_pricing_summary": _q_agg_pricing,
     }
 
@@ -924,6 +981,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_embeddings": _ivf_topk_oracle_sql(),
         "ivf_recall_embeddings": _ivf_recall_oracle_sql(),
         "partition_ledger_documents": _ledger_oracle_sql(),
+        "image_features_documents": _image_features_oracle_sql(),
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round((sum(l_quantity::DECIMAL(18,2)))::double, 2) AS sum_qty,

@@ -68,6 +68,8 @@ def _argmax_assign_udf(cents_rows: list, dim: int):
 
     @F.pandas_udf("int")
     def assign(batch: pd.Series) -> pd.Series:
+        if len(batch) == 0:
+            return pd.Series([], dtype="int32")
         M = np.array(batch.tolist(), dtype=np.float64)
         return pd.Series(cids[np.argmax(M @ Cn.T, axis=1)])
 
