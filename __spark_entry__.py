@@ -9,12 +9,14 @@ SURVEY.md §2 / §2.9 and the training-data pipeline ops; each Spark
 query is paired with an ANSI-SQL DuckDB oracle where the semantics are
 SQL-expressible (all value-bearing columns aliased identically on both
 sides, floats rounded to 6 decimals, counts cast to bigint). Round 3:
-30 queries, 29 oracle-paired — hash-dependent operators use
+32 queries, 31 oracle-paired — hash-dependent operators use
 SQL-reproducible hashes (sha256-derived SimHash bits and banded-LSH
 hyperplane sign sums in exact decimal, OPH MinHash, mod-seeded
-exact-decimal IVF) so only the xxhash64 MinHash fast path remains
-rows-only. New in round 3: typed-row and map-column object-keyword
-queries (the round-2 silent-drop fix, oracle-gated).
+exact-decimal IVF, digest-tiled multimodal fake decodes) so only the
+xxhash64 MinHash fast path remains rows-only. New in round 3:
+typed-row and map-column object-keyword queries (the round-2
+silent-drop fix, oracle-gated) and oracle-paired image/audio feature
+queries over the multimodal mapInPandas kernels.
 """
 
 from __future__ import annotations
@@ -410,6 +412,73 @@ def _image_features_oracle_sql() -> str:
     """
 
 
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline under the driver's gate: binary clips synthesized
+    from doc ids, then the Arrow-batched signal-feature kernel in
+    deterministic fake mode. Oracle-able because the fake 4096-sample
+    signal tiles the 16 int16 samples of a sha256 digest, and every
+    feature is integer arithmetic scaled by powers of two — rms, peak
+    and zero-cross are bit-identical across numpy and SQL (see
+    ``_audio_features_oracle_sql``)."""
+    from json_schema_spark.operators.multimodal import audio_features
+
+    clips = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.sha2(F.col("doc_id").cast("string"), 256).cast("binary").alias("data"),
+    )
+    out = audio_features(clips, decode="fake")
+    return out.select(
+        "id", "sample_rate", "n_samples", "duration_s",
+        F.round("rms", 6).alias("rms"), F.round("peak", 6).alias("peak"),
+        F.round("zero_cross_rate", 6).alias("zero_cross_rate"))
+
+
+def _audio_features_oracle_sql() -> str:
+    """DuckDB replica of fake-mode :func:`audio_features` over clips of
+    utf-8(hex(sha256(id))) bytes. The fake signal is the sha256 digest
+    of the clip bytes read as 16 little-endian int16 samples, tiled to
+    4096 — so sum(x^2) = 256 * sum(k^2) / 2^30 (exact in double: every
+    partial sum is a dyadic rational under 2^53), peak = max|k|/32768,
+    and zero-cross counts sign flips over the 4095 adjacent pairs of
+    the tiled sequence (np.signbit(+0.0) is false = ``k < 0``)."""
+    return """
+        WITH h AS (
+          SELECT doc_id AS id, sha256(sha256(doc_id::VARCHAR)) AS hx FROM documents
+        ),
+        s AS (
+          SELECT id, j,
+            (((strpos('0123456789abcdef', substring(hx, 4*j+1, 1)) - 1) * 16 +
+              (strpos('0123456789abcdef', substring(hx, 4*j+2, 1)) - 1)) +
+             ((strpos('0123456789abcdef', substring(hx, 4*j+3, 1)) - 1) * 16 +
+              (strpos('0123456789abcdef', substring(hx, 4*j+4, 1)) - 1)) * 256
+            )::BIGINT AS ku
+          FROM h, (SELECT unnest(range(16)) AS j)
+        ),
+        k AS (SELECT id, j, CASE WHEN ku >= 32768 THEN ku - 65536 ELSE ku END AS k
+              FROM s),
+        e AS (
+          SELECT id, i, k, lag(k) OVER (PARTITION BY id ORDER BY i) AS pk
+          FROM (SELECT unnest(range(4096)) AS i), k AS kk
+          WHERE kk.j = i % 16
+        ),
+        zc AS (
+          SELECT id, sum(CASE WHEN pk IS NOT NULL AND (k < 0) != (pk < 0)
+                         THEN 1 ELSE 0 END) AS n_flip
+          FROM e GROUP BY id
+        ),
+        base AS (
+          SELECT id,
+            round(sqrt((sum(k*k) * 256)::DOUBLE / 1073741824.0 / 4096.0), 6) AS rms,
+            round(max(abs(k)) / 32768.0, 6) AS peak
+          FROM k GROUP BY id
+        )
+        SELECT base.id, 8000::INT AS sample_rate, 4096::BIGINT AS n_samples,
+               0.512::DOUBLE AS duration_s, rms, peak,
+               round(n_flip / 4095.0, 6) AS zero_cross_rate
+        FROM base JOIN zc ON base.id = zc.id
+    """
+
+
 def _q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,2)")
@@ -474,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_documents": _q_lang_id,
         "fingerprint_documents": _q_fingerprint,
         "image_features_documents": _q_image_features,
+        "audio_features_documents": _q_audio_features,
         "agg_pricing_summary": _q_agg_pricing,
     }
 
@@ -982,6 +1052,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_recall_embeddings": _ivf_recall_oracle_sql(),
         "partition_ledger_documents": _ledger_oracle_sql(),
         "image_features_documents": _image_features_oracle_sql(),
+        "audio_features_documents": _audio_features_oracle_sql(),
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round((sum(l_quantity::DECIMAL(18,2)))::double, 2) AS sum_qty,
