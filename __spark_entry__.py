@@ -9,14 +9,14 @@ SURVEY.md §2 / §2.9 and the training-data pipeline ops; each Spark
 query is paired with an ANSI-SQL DuckDB oracle where the semantics are
 SQL-expressible (all value-bearing columns aliased identically on both
 sides, floats rounded to 6 decimals, counts cast to bigint). Round 3:
-32 queries, 31 oracle-paired — hash-dependent operators use
+33 queries, 32 oracle-paired — hash-dependent operators use
 SQL-reproducible hashes (sha256-derived SimHash bits and banded-LSH
 hyperplane sign sums in exact decimal, OPH MinHash, mod-seeded
 exact-decimal IVF, digest-tiled multimodal fake decodes) so only the
 xxhash64 MinHash fast path remains rows-only. New in round 3:
 typed-row and map-column object-keyword queries (the round-2
-silent-drop fix, oracle-gated) and oracle-paired image/audio feature
-queries over the multimodal mapInPandas kernels.
+silent-drop fix, oracle-gated) and oracle-paired image/audio/video
+feature queries over the multimodal mapInPandas kernels.
 """
 
 from __future__ import annotations
@@ -479,6 +479,42 @@ def _audio_features_oracle_sql() -> str:
     """
 
 
+def _q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing under the driver's gate: clip
+    byte-length varies per doc (1-5 repeats of the 64-char digest hex),
+    fake decode derives the frame count from that length, and every
+    10th frame yields constant-luma stats — the row explosion, sampling
+    stride and per-frame schema are exactly replicable in SQL."""
+    from json_schema_spark.operators.multimodal import video_features
+
+    clips = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.expr(
+            "cast(repeat(sha2(cast(doc_id as string), 256), "
+            "1 + pmod(doc_id, 5)) as binary)").alias("data"),
+    )
+    return video_features(clips, every_n=10, decode="fake").select(
+        "id", "frame_idx", "width", "height", "mean_y", "std_y")
+
+
+def _video_features_oracle_sql() -> str:
+    """DuckDB replica of fake-mode :func:`video_features`: clip bytes =
+    utf-8 hex digest repeated (1 + id % 5) times, so len = 64 * reps;
+    fake frame count = (len % 97) + 30; every 10th frame is a constant
+    8x8 plane of luma (idx * 7) % 256 (mean exact, std 0)."""
+    return """
+        WITH n AS (
+          SELECT doc_id AS id, ((64 * (1 + doc_id % 5)) % 97) + 30 AS nf
+          FROM documents
+        ),
+        f AS (SELECT id, unnest(range(0, nf, 10)) AS frame_idx FROM n)
+        SELECT id, frame_idx::INT AS frame_idx, 8::INT AS width,
+               8::INT AS height, ((frame_idx * 7) % 256)::DOUBLE AS mean_y,
+               0.0::DOUBLE AS std_y
+        FROM f
+    """
+
+
 def _q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,2)")
@@ -544,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": _q_fingerprint,
         "image_features_documents": _q_image_features,
         "audio_features_documents": _q_audio_features,
+        "video_features_documents": _q_video_features,
         "agg_pricing_summary": _q_agg_pricing,
     }
 
@@ -1053,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "partition_ledger_documents": _ledger_oracle_sql(),
         "image_features_documents": _image_features_oracle_sql(),
         "audio_features_documents": _audio_features_oracle_sql(),
+        "video_features_documents": _video_features_oracle_sql(),
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round((sum(l_quantity::DECIMAL(18,2)))::double, 2) AS sum_qty,
