@@ -47,6 +47,11 @@ HEADLINE = [
     "ivf_topk_embeddings",
     "text_stats_documents",
     "agg_pricing_summary",
+    # Arrow-batched mapInPandas multimodal kernels (fake-decode mode,
+    # DuckDB-oracle-paired): the measured Python-path baseline.
+    "image_features_documents",
+    "audio_features_documents",
+    "video_features_documents",
 ]
 
 

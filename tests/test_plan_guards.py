@@ -123,3 +123,28 @@ def test_column_stats_exact_spreads_expand(spark):
         F.col("id"), (F.col("id") % 7).alias("a"))
     plan2 = _plan(column_stats(wide, exact_distinct=True))
     assert "RoundRobinPartitioning" not in plan2.split("Expand")[0]
+
+
+def test_multimodal_feature_plan_single_python_stage(spark):
+    """The multimodal feature kernels are ONE MapInPandas over the
+    (pruned) scan: no Exchange, no extra Python stages, and column
+    pruning reaches the parquet scan through the kernel's projection."""
+    import tempfile
+
+    from json_schema_spark.operators.multimodal import (
+        image_features, synth_binary_column)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        p = f"{tmp}/docs"
+        spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.lit("x").alias("text")).write.parquet(p)
+        docs = spark.read.parquet(p)
+        out = image_features(
+            synth_binary_column(docs.select("doc_id"), id_col="doc_id"),
+            decode="fake")
+        plan = _plan(out)
+        assert plan.count("MapInPandas") == 1
+        assert "Exchange" not in plan
+        scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+        assert "text" not in scan, f"unreferenced column scanned: {scan}"
