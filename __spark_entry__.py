@@ -9,11 +9,13 @@ SURVEY.md §2 / §2.9 and the training-data pipeline ops; each Spark
 query is paired with an ANSI-SQL DuckDB oracle where the semantics are
 SQL-expressible (all value-bearing columns aliased identically on both
 sides, floats rounded to 6 decimals, counts cast to bigint). Round 3:
-33 queries, 32 oracle-paired — hash-dependent operators use
+34 queries, 33 oracle-paired — hash-dependent operators use
 SQL-reproducible hashes (sha256-derived SimHash bits and banded-LSH
 hyperplane sign sums in exact decimal, OPH MinHash, mod-seeded
-exact-decimal IVF, digest-tiled multimodal fake decodes) so only the
-xxhash64 MinHash fast path remains rows-only. New in round 3:
+exact-decimal IVF, digest-tiled multimodal fake decodes, and a
+sha-universal twin of the FULL MinHash-LSH pipeline) so only the
+xxhash64 MinHash fast path remains rows-only — and its twin gates the
+identical banding/pair/verify plan. New in round 3:
 typed-row and map-column object-keyword queries (the round-2
 silent-drop fix, oracle-gated) and oracle-paired image/audio/video
 feature queries over the multimodal mapInPandas kernels.
@@ -264,6 +266,24 @@ def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), shingle_n=5, num_hashes=64, bands=16,
         threshold=0.7,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_minhash_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash-LSH pipeline (signatures -> banding -> candidate
+    join -> exact-Jaccard verify) under the driver's oracle gate: the
+    sha-universal hash twin swaps xxhash64 for a sha256-derived 31-bit
+    shingle hash + universal (a*h+b) mod 2^31-1 mixing and joins bands
+    on the raw signature-slice string, all of which DuckDB replicates
+    bit-for-bit (``_minhash_sha_oracle_sql``). Same plan shape as the
+    production query — this gates the banding/pair/verify logic the
+    xxhash64 path exercises rows-only."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit("")))
+    pairs = D.minhash_lsh_pairs(
+        docs, shingle_n=5, num_hashes=64, bands=16, threshold=0.7,
+        hash_fn="sha_universal",
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -568,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first_documents": _q_dedup_keep_first,
         "ngram_jaccard_documents": _q_ngram_jaccard,
         "minhash_neardup_documents": _q_minhash_neardup,
+        "minhash_neardup_sha_documents": _q_minhash_sha,
         "minhash_oph_documents": _q_minhash_oph,
         "simhash_documents": _q_simhash,
         "embedding_neardup_pairs": _q_embedding_neardup,
@@ -607,6 +628,56 @@ def _minhash_oph_oracle_sql(norm: str) -> str:
               FROM m)
         SELECT id, sha256(string_agg(line, ',' ORDER BY line)) AS sig_sha256
         FROM l GROUP BY id
+    """
+
+
+def _minhash_sha_oracle_sql(norm: str) -> str:
+    """DuckDB replica of the ENTIRE sha-universal MinHash-LSH pipeline
+    (:func:`operators.dedup.minhash_lsh_pairs` with
+    ``hash_fn='sha_universal'``): 31-bit shingle hash = first 8 sha256
+    hex digits mod 2^31-1, 64 universal-mix minima, 16 band keys as
+    comma-joined signature slices, distinct candidate pairs from band
+    collisions, exact Jaccard over distinct shingle-hash sets."""
+    from json_schema_spark.operators.dedup import (
+        MERSENNE31, sha_universal_consts)
+
+    p = MERSENNE31
+    consts = sha_universal_consts(64, 42)
+    horner = "CAST(0 AS BIGINT)"
+    for d in range(8):
+        horner = (f"(({horner}) * 16 + "
+                  f"(strpos('0123456789abcdef', substring(hx, {d + 1}, 1)) - 1))")
+    mins = ", ".join(f"min((h * {a} + {b}) % {p}) AS m{i}"
+                     for i, (a, b) in enumerate(consts))
+    case_arms = " ".join(
+        f"WHEN {b} THEN " + " || ',' || ".join(
+            f"m{b * 4 + j}::VARCHAR" for j in range(4))
+        for b in range(16))
+    norm = norm.replace("lower(text)", "lower(coalesce(text, ''))")
+    return f"""
+        WITH t AS (SELECT doc_id AS id, {norm} AS nt FROM documents),
+        pos AS (SELECT id, nt, unnest(range(1, greatest(length(nt) - 4, 1) + 1)) AS i
+                FROM t),
+        hx8 AS (SELECT id, substring(sha256(substring(nt, i, 5)), 1, 8) AS hx FROM pos),
+        hsh AS (SELECT id, ({horner}) % {p} AS h FROM hx8),
+        sig AS (SELECT id, {mins} FROM hsh GROUP BY id),
+        band AS (SELECT id, b, CASE b {case_arms} END AS key
+                 FROM sig, (SELECT unnest(range(16)) AS b)),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id),
+        shs AS (SELECT DISTINCT id, h FROM hsh),
+        cnt AS (SELECT id, count(*) AS c FROM shs GROUP BY id),
+        inter AS (SELECT c.id_a, c.id_b, count(*) AS x
+                  FROM cand c
+                  JOIN shs sa ON sa.id = c.id_a
+                  JOIN shs sb ON sb.id = c.id_b AND sb.h = sa.h
+                  GROUP BY 1, 2)
+        SELECT i.id_a, i.id_b,
+               round(x::DOUBLE / (ca.c + cb.c - x), 6) AS jaccard
+        FROM inter i
+        JOIN cnt ca ON ca.id = i.id_a
+        JOIN cnt cb ON cb.id = i.id_b
+        WHERE x::DOUBLE / (ca.c + cb.c - x) >= 0.7
     """
 
 
@@ -1083,6 +1154,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_documents": f"SELECT doc_id, sha256({norm}) AS fp_sha256 FROM documents",
         "language_id_documents": _lang_id_oracle_sql(norm),
         "minhash_oph_documents": _minhash_oph_oracle_sql(norm),
+        "minhash_neardup_sha_documents": _minhash_sha_oracle_sql(norm),
         "simhash_documents": _simhash_oracle_sql(norm),
         "embedding_neardup_pairs": _embedding_neardup_oracle_sql(),
         "ivf_topk_embeddings": _ivf_topk_oracle_sql(),

@@ -95,8 +95,40 @@ def char_shingles(col, n: int = 5) -> F.Column:
     return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, n)))
 
 
+MERSENNE31 = 2_147_483_647
+
+
+def _sha31(col) -> F.Column:
+    """31-bit shingle hash reproducible in ANSI SQL: the first 8 hex
+    digits of sha256 as an integer, reduced mod 2^31-1. Used by the
+    ``hash_fn='sha_universal'`` oracle twin — xxhash64 stays the
+    production path (one JVM hash vs a sha256 per shingle)."""
+    return F.pmod(
+        F.conv(F.substring(F.sha2(col, 256), 1, 8), 16, 10).cast("bigint"),
+        F.lit(MERSENNE31),
+    )
+
+
+def sha_universal_consts(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Driver-side sha256-derived (a_i, b_i) for the classic universal
+    hash family g_i(h) = (a_i*h + b_i) mod 2^31-1 — embeddable as
+    literals in both the Spark plan and a DuckDB oracle (the
+    :func:`hyperplane` trick). a_i in [1, p-1] keeps g_i injective-ish;
+    products stay under 2^62 so BIGINT arithmetic never overflows."""
+    import hashlib as _hl
+
+    p = MERSENNE31
+    out = []
+    for i in range(num_hashes):
+        a = int.from_bytes(_hl.sha256(f"a:{seed}:{i}".encode()).digest()[:8], "big") % (p - 1) + 1
+        b = int.from_bytes(_hl.sha256(f"b:{seed}:{i}".encode()).digest()[:8], "big") % p
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       shingle_n: int = 5, num_hashes: int = 64, seed: int = 42) -> DataFrame:
+                       shingle_n: int = 5, num_hashes: int = 64, seed: int = 42,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """k-min-hash signatures via explode + codegen'd min-aggregation:
     ``(id, shingle)`` rows → one xxhash64 per shingle → 64 cheap
     long-mix hashes inside a hash aggregate with map-side partial mins.
@@ -111,15 +143,24 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t"))
     )
-    posting = base.select(
+    shingle = F.expr(f"substring(t, i, {int(shingle_n)})")
+    exploded = base.select(
         "id", "t",
         F.explode(
             F.sequence(F.lit(1), F.greatest(F.length("t") - (shingle_n - 1), F.lit(1)))
         ).alias("i"),
-    ).select("id", F.xxhash64(F.expr(f"substring(t, i, {int(shingle_n)})"), F.lit(seed)).alias("h"))
-    mins = posting.groupBy("id").agg(
-        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
     )
+    if hash_fn == "sha_universal":
+        posting = exploded.select("id", _sha31(shingle).alias("h"))
+        mins = posting.groupBy("id").agg(
+            *[F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE31))).alias(f"m{i}")
+              for i, (a, b) in enumerate(sha_universal_consts(num_hashes, seed))]
+        )
+    else:
+        posting = exploded.select("id", F.xxhash64(shingle, F.lit(seed)).alias("h"))
+        mins = posting.groupBy("id").agg(
+            *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
+        )
     return mins.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
 
 
@@ -145,8 +186,16 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     seed: int = 42,
     max_broadcast_pairs: Optional[int] = 1_000_000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    ``hash_fn='sha_universal'`` swaps every hash for an ANSI-SQL-
+    reproducible one (sha256-derived 31-bit shingle hash + universal
+    (a*h+b) mod 2^31-1 mixing, band key = the raw signature-slice
+    string) so the ENTIRE pipeline — signatures, banding, candidate
+    join, Jaccard verify — can be oracle-paired in DuckDB; xxhash64
+    remains the production path (one JVM hash per shingle).
 
     Plan shape (scale-critical): signature+bands computed in one narrow
     pass; ``explode`` to (band, band_hash) buckets; bucket self-join only
@@ -181,21 +230,24 @@ def minhash_lsh_pairs(
     # through the self-join shuffle; documents never leave their scan.
     # At 100 TB this is the difference between shuffling ~48 B/doc/band
     # and shuffling whole documents.
-    sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_hashes, seed)
+    sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_hashes, seed,
+                              hash_fn=hash_fn)
+
+    def band_key(b):
+        key = F.concat_ws(",", F.transform(
+            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+            lambda x: x.cast("string")))
+        # sha mode joins on the raw slice string (SQL-reproducible);
+        # production hashes it down to one long per band.
+        return key if hash_fn == "sha_universal" else F.xxhash64(key)
+
     banded = sigs.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.transform(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"))),
-                    ).alias("bh"),
-                ),
-            )
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
+                for b in range(bands)
+            ])
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
     a = banded.alias("a")
@@ -233,8 +285,12 @@ def minhash_lsh_pairs(
                 )).alias("i"),
                 "__t",
             )
-            .select("id", F.xxhash64(
-                F.expr(f"substring(__t, i, {int(shingle_n)})"), F.lit(seed)).alias("h"))
+            .select("id", (
+                _sha31(F.expr(f"substring(__t, i, {int(shingle_n)})"))
+                if hash_fn == "sha_universal"
+                else F.xxhash64(
+                    F.expr(f"substring(__t, i, {int(shingle_n)})"), F.lit(seed))
+            ).alias("h"))
             .groupBy("id").agg(F.collect_set("h").alias("sh"))
         )
     if max_broadcast_pairs is None:
