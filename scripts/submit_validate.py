@@ -5,6 +5,13 @@
         --input  <parquet dir with (repo,path,commit,lang,content)> \
         --output <run dir> [--resumable] [--buckets 64]
 
+or, reading a catalog table instead of a path (the Iceberg deployment
+shape — with the Iceberg runtime jars + catalog conf on the cluster,
+``--table my_catalog.db.source_files`` gets snapshot isolation and
+partition pruning for free; nothing else here changes):
+
+    spark-submit ... --table <catalog.db.table> --output <run dir>
+
 Writes under --output:
   verdicts/    row_id, valid, violations, content_sha256 (parquet)
   violations/  exploded violation rows
@@ -28,7 +35,9 @@ from pyspark.sql import SparkSession, functions as F
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    g = ap.add_mutually_exclusive_group(required=True)
+    g.add_argument("--input", help="parquet directory")
+    g.add_argument("--table", help="catalog table name (e.g. an Iceberg table)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--resumable", action="store_true")
     ap.add_argument("--buckets", type=int, default=64)
@@ -40,7 +49,7 @@ def main() -> None:
     from json_schema_spark.operators.ledger import global_digest, partition_ledger
 
     t0 = time.time()
-    df = spark.read.parquet(args.input)
+    df = spark.table(args.table) if args.table else spark.read.parquet(args.input)
     if "row_id" not in df.columns:
         df = df.withColumn("row_id", F.monotonically_increasing_id())
 
