@@ -43,6 +43,7 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     args = ap.parse_args()
 
+    owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("validate_source_table").getOrCreate()
     from json_schema_spark.flagship import validate_source_table
     from json_schema_spark.operators.checkpoint import ResumableRun
@@ -87,7 +88,8 @@ def main() -> None:
     with open(os.path.join(args.output, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
-    spark.stop()
+    if owns_session:  # leave an embedding caller's session alone
+        spark.stop()
 
 
 if __name__ == "__main__":
