@@ -9,7 +9,7 @@ SURVEY.md §2 / §2.9 and the training-data pipeline ops; each Spark
 query is paired with an ANSI-SQL DuckDB oracle where the semantics are
 SQL-expressible (all value-bearing columns aliased identically on both
 sides, floats rounded to 6 decimals, counts cast to bigint). Round 3:
-34 queries, 33 oracle-paired — hash-dependent operators use
+35 queries, 34 oracle-paired — hash-dependent operators use
 SQL-reproducible hashes (sha256-derived SimHash bits and banded-LSH
 hyperplane sign sums in exact decimal, OPH MinHash, mod-seeded
 exact-decimal IVF, digest-tiled multimodal fake decodes, and a
@@ -284,6 +284,19 @@ def _q_minhash_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_pairs(
         docs, shingle_n=5, num_hashes=64, bands=16, threshold=0.7,
         hash_fn="sha_universal",
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path of exact n-gram Jaccard: AllPairs prefix
+    filtering (rarest-token prefixes generate candidates, full-set
+    verify) — IDENTICAL results to the inverted-index join, gated by
+    the same oracle, but hot shingles never enter the candidate
+    self-join (the plain path is O(sum posting^2) on Zipf corpora)."""
+    pairs = D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.7,
+        word_grams=True, prefix_filter=True,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -587,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_orders_totalprice": _q_ks,
         "dedup_keep_first_documents": _q_dedup_keep_first,
         "ngram_jaccard_documents": _q_ngram_jaccard,
+        "ngram_jaccard_prefix_documents": _q_ngram_jaccard_prefix,
         "minhash_neardup_documents": _q_minhash_neardup,
         "minhash_neardup_sha_documents": _q_minhash_sha,
         "minhash_oph_documents": _q_minhash_oph,
@@ -1085,7 +1099,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY sha256({norm})
         """,
-        "ngram_jaccard_documents": f"""
+        **{k: f"""
             WITH d AS (
               SELECT doc_id, string_split({norm}, ' ') AS words FROM documents
             ), g AS (
@@ -1103,7 +1117,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard
             FROM co WHERE inter / (na + nb - inter) >= 0.7
-        """,
+        """ for k in ("ngram_jaccard_documents",
+                      "ngram_jaccard_prefix_documents")},
         "ann_topk_embeddings": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 10),

@@ -349,11 +349,27 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     word_grams: bool = True,
+    prefix_filter: bool = False,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard via inverted-index join:
-    explode shingles → co-occurrence counts → |A∩B| / (|A|+|B|−|A∩B|).
-    Exact but O(Σ posting-list²) — use the MinHash variant at scale;
-    this is the small-side oracle."""
+    """Exact all-pairs n-gram Jaccard.
+
+    ``prefix_filter=False``: plain inverted-index join — explode
+    shingles → co-occurrence counts → |A∩B| / (|A|+|B|−|A∩B|). Exact
+    but O(Σ posting-list²): a single hot shingle shared by k docs
+    contributes k² join rows, so Zipf-shaped corpora blow up.
+
+    ``prefix_filter=True``: the AllPairs/SSJoin prefix filter
+    (Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06) — IDENTICAL
+    results, scale-safe candidate generation. Under a global token
+    order (ascending document frequency, ties by token), a pair with
+    jaccard ≥ t must share a token within each side's first
+    |X| − ⌈t·|X|⌉ + 1 tokens: jaccard ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥
+    ⌈t·max(|A|,|B|)⌉, and if the intersection avoided A's prefix it
+    would fit in A's ⌈t·|A|⌉−1 suffix slots — contradiction. Only
+    prefix tokens (the RAREST per doc) enter the self-join, so hot
+    shingles never generate candidates; exact verification intersects
+    the full shingle sets per surviving pair (the MinHash-verify
+    melt/semi-join shape — candidate docs shingle once)."""
     if word_grams:
         toks = F.split(normalize_text(F.col(text_col)), " ")
         idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (shingle_n - 1), F.lit(1)))
@@ -366,18 +382,54 @@ def ngram_jaccard_pairs(
         "n_sh", F.size("sh")
     )
     posting = base.select("id", "n_sh", F.explode("sh").alias("g"))
-    a, b = posting.alias("a"), posting.alias("b")
-    co = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                 F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    if not prefix_filter:
+        a, b = posting.alias("a"), posting.alias("b")
+        co = (
+            a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        return co.select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        ).filter(F.col("jaccard") >= threshold)
+
+    from pyspark.sql import Window as _W
+
+    # global order by ascending document frequency (rarest first), ties
+    # broken by the token itself — any consistent total order is sound
+    freq = posting.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
+    plen = F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1
+    pref = (
+        posting.join(freq, "g")
+        .withColumn("r", F.row_number().over(_W.partitionBy("id").orderBy("gdf", "g")))
+        .filter(F.col("r") <= plen)
+        .select("id", "g")
     )
-    return co.select(
-        "id_a",
-        "id_b",
-        (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    melted = cand.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id"))
+    sets = base.select("id", "sh").join(melted.select("id").distinct(), "id", "left_semi")
+    grouped = sets.join(melted, "id").groupBy("id_a", "id_b").agg(
+        F.first(F.when(F.col("id") == F.col("id_a"), F.col("sh")),
+                ignorenulls=True).alias("sh_a"),
+        F.first(F.when(F.col("id") == F.col("id_b"), F.col("sh")),
+                ignorenulls=True).alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        grouped.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def minhash_oph_digest(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

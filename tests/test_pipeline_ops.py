@@ -88,6 +88,34 @@ def test_ngram_jaccard_exact(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_ngram_jaccard_prefix_filter_equality(spark):
+    """AllPairs prefix filtering returns the IDENTICAL pair set and
+    jaccard values as the plain inverted-index join — including on a
+    corpus with a planted hot token shared by every doc (the case
+    where the plain path's candidate join goes quadratic)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        # every doc shares 'common common filler' grams; near-dup pairs
+        # planted as (i, i+1000)
+        uniq = " ".join(f"tok{i}_{j}" for j in range(rng.randint(4, 9)))
+        rows.append((i, f"common common filler {uniq}"))
+        if i % 7 == 0:
+            rows.append((i + 1000, f"common common filler {uniq} extra"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def run(pf):
+        return {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+                for r in ngram_jaccard_pairs(
+                    df, shingle_n=3, threshold=0.5, prefix_filter=pf).collect()}
+
+    plain, pref = run(False), run(True)
+    assert plain == pref
+    assert any(b - a == 1000 for a, b in plain)  # planted dups found
+
+
 def test_simhash_pairs(spark, docs):
     clones = docs.limit(4).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     pool = docs.select("doc_id", "text").unionByName(clones)
