@@ -25,10 +25,13 @@ __all__ = ["FORMAT_VALIDATORS", "FORMAT_REGEXES", "is_format_valid"]
 
 # ---------------------------------------------------------------- date/time
 
-_DATE_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})$")
+# [0-9] (never \d): the reference's DateTimeFormatValidation.parseInt
+# walks ASCII '0'..'9' code points, while Python \d (and int()) also
+# accept Unicode digits like U+0663 — "٢٠٢٠-٠١-٠١" must NOT validate.
+_DATE_RE = re.compile(r"^([0-9]{4})-([0-9]{2})-([0-9]{2})$")
 _TIME_RE = re.compile(
-    r"^(\d{2}):(\d{2}):(\d{2})(\.\d+)?"
-    r"([zZ]|[+-]\d{2}:\d{2})$"
+    r"^([0-9]{2}):([0-9]{2}):([0-9]{2})(\.[0-9]+)?"
+    r"([zZ]|[+-][0-9]{2}:[0-9]{2})$"
 )
 _DAYS = [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
 
@@ -89,19 +92,20 @@ def is_datetime(s: str) -> bool:
 
 
 _DURATION_RE = re.compile(
-    r"^P(?!$)(\d+Y)?(\d+M)?(\d+D)?"
-    r"(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?$"
-    r"|^P\d+W$"
+    r"^P(?!$)([0-9]+Y)?([0-9]+M)?([0-9]+D)?"
+    r"(T(?=[0-9])([0-9]+H)?([0-9]+M)?([0-9]+(\.[0-9]+)?S)?)?$"
+    r"|^P[0-9]+W$"
 )
 
 
 def is_duration(s: str) -> bool:
     if not s.startswith("P"):
         return False
-    if re.fullmatch(r"P\d+W", s):
+    if re.fullmatch(r"P[0-9]+W", s):
         return True
     m = re.fullmatch(
-        r"P(?=.)(\d+Y)?(\d+M)?(\d+D)?(T(?=.)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?", s
+        r"P(?=.)([0-9]+Y)?([0-9]+M)?([0-9]+D)?"
+        r"(T(?=.)([0-9]+H)?([0-9]+M)?([0-9]+(\.[0-9]+)?S)?)?", s
     )
     if not m:
         return False
@@ -114,9 +118,13 @@ def is_duration(s: str) -> bool:
 # ---------------------------------------------------------------- regex-able
 
 UUID_RE = r"(?i)^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+# [0-9], never \d: the reference's IP4_REGEX is compiled with Java
+# default flags (ASCII \d, CommonFormatValidations.java:13), and this
+# string is also shipped to rlike where the (?U) prefix would otherwise
+# turn \d Unicode. "1٣.0.0.1" must NOT validate.
 IPV4_RE = (
-    r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
-    r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
+    r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
 )
 JSON_POINTER_RE = r"^(/([^/~]|~[01])*)*$"
 REL_JSON_POINTER_RE = r"^(0|[1-9][0-9]*)(#|(/([^/~]|~[01])*)*)$"
@@ -148,9 +156,32 @@ def is_relative_json_pointer(s: str) -> bool:
     return re.fullmatch(REL_JSON_POINTER_RE, s) is not None
 
 
+# format:"regex" asks "does this compile in the regex dialect in use";
+# the reference's default dialect is java.util.regex
+# (FormatCompiler.java:69 -> validateRegex -> RegexFactory.java:20), so
+# the default predicate approximates Java acceptance: Python-only
+# syntax Java rejects is refused, and common Java-only atoms are
+# rewritten into Python-compilable placeholders before the compile
+# check. A custom regex_factory (CompileConfig) replaces this wholesale.
+_PY_ONLY_REGEX = re.compile(r"\((?:\?P[<=>]|\?\()")  # (?P<  (?P=  (?P>  (?(
+_JAVA_REWRITES = [
+    (re.compile(r"\\[pP]\{[^{}]*\}"), "a"),           # \p{Alpha}, \P{Sc=Grek}
+    (re.compile(r"\(\?<([A-Za-z][A-Za-z0-9]*)>"), r"(?P<\1>"),  # named group
+    (re.compile(r"\\k<([A-Za-z][A-Za-z0-9]*)>"), r"(?P=\1)"),   # back-ref
+    (re.compile(r"\\[eEQRGzhHvV]"), "x"),             # Java-only escapes
+]
+
+
 def is_regex(s: str) -> bool:
+    # hide escaped backslashes so "\\z" (literal backslash + z) is not
+    # mistaken for the Java \z anchor, then restore before compiling
+    t = s.replace("\\\\", "\x00")
+    if _PY_ONLY_REGEX.search(t):
+        return False
+    for pat, repl in _JAVA_REWRITES:
+        t = pat.sub(repl, t)
     try:
-        re.compile(s)
+        re.compile(t.replace("\x00", "\\\\"))
         return True
     except re.error:
         return False
@@ -522,11 +553,15 @@ def is_idn_hostname(s: str) -> bool:
 # ``common/email/EmailValidator.java:41-53,138-189``,
 # ``common/email/DomainValidator.java``).
 _EMAIL_SPECIAL = r"\x00-\x1f\x7f()<>@,;:'\\" + "\".\\[\\]"
-_EMAIL_VALID_CHAR = r"(?:\\.|[^\s" + _EMAIL_SPECIAL + "])"
+# Java \s is ASCII-only ([ \t\n\x0B\f\r]); Python \s is Unicode-wide
+# and would reject e.g. U+00A0 in the local part where the reference's
+# USER_REGEX accepts it — spell the Java class out.
+_JAVA_WS = " \\t\\n\\x0b\\f\\r"
+_EMAIL_VALID_CHAR = r"(?:\\.|[^" + _JAVA_WS + _EMAIL_SPECIAL + "])"
 _EMAIL_QUOTED = r'(?:"(?:\\"|[^"])*")'
 _EMAIL_WORD = "(?:(?:" + _EMAIL_VALID_CHAR + "|')+|" + _EMAIL_QUOTED + ")"
 _EMAIL_USER_RE = re.compile("^" + _EMAIL_WORD + r"(?:\." + _EMAIL_WORD + ")*$")
-_EMAIL_RE = re.compile(r"^(.+)@(\S+)$")
+_EMAIL_RE = re.compile(r"^(.+)@([^" + _JAVA_WS + r"]+)$")
 
 _DOMAIN_LABEL = r"[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
 _TOP_LABEL = r"[A-Za-z](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
