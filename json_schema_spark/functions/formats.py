@@ -201,11 +201,18 @@ def _uri_syntax_ok(s: str, ascii_only: bool) -> bool:
         return False
     if _PCT_RE.search(s):
         return False
+    if s.count("#") > 1:
+        return False  # java.net.URI: '#' is illegal inside a fragment
     try:
         parts = urlsplit(s)
     except ValueError:
         return False
     if parts.scheme and not _SCHEME_RE.match(parts.scheme):
+        return False
+    if "[" in parts.path or "]" in parts.path:
+        # java.net.URI: brackets are reserved (RFC 2732) — legal in the
+        # authority (IP-literal) and in query/fragment (uric), but NOT
+        # in path segments (pchar)
         return False
     host = parts.netloc
     if host.startswith("[") != host.endswith("]") and ("[" in host or "]" in host):
@@ -227,6 +234,12 @@ def is_uri(s: str) -> bool:
 
 
 def is_uri_reference(s: str) -> bool:
+    if not s:
+        # parity quirk: the reference gates uri-reference on
+        # ^[\x00-\x7f]+$ (one-or-more, CommonFormatValidations.java:12,
+        # getURIReferenceValidator), so "" is INVALID — while its
+        # iri-reference path (plain URI.create) accepts ""
+        return False
     if not _uri_syntax_ok(s, ascii_only=True):
         return False
     # a fragment-only / path-only reference is fine; reject "1st:" style
