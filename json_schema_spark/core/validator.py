@@ -596,6 +596,7 @@ class _Compiler:
                     self._err(errors, path, "contentEncoding", f"invalid {encoding} content")
                     return False
             parsed = None
+            have_parsed = False
             if media is not None:
                 if text is None:
                     self._err(errors, path, "contentMediaType", "content is not text")
@@ -604,7 +605,10 @@ class _Compiler:
                 if not ok:
                     self._err(errors, path, "contentMediaType", f"not parseable as {media}")
                     return False
-            if sub is not None and parsed is not None:
+                # JSON null parses to None and must still reach the
+                # subschema — gate on "a parser exists", not on the value
+                have_parsed = content_mod.is_known_media(media, mt_over)
+            if sub is not None and have_parsed:
                 ok, errs, _ = sub(parsed, path, scope)
                 if not ok:
                     if errs and errors is not None:

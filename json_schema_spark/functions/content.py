@@ -17,10 +17,10 @@ from __future__ import annotations
 
 import base64
 import binascii
+import json as json_mod
 import re
+from decimal import Decimal as _Decimal
 from typing import Any, Callable, Optional
-
-from ..core.jsonvalue import parse_json
 
 __all__ = [
     "DISABLED",
@@ -29,8 +29,10 @@ __all__ = [
     "ENCODING_AND_SCHEMA",
     "decode_content",
     "parse_media_type",
+    "is_known_media",
     "DECODERS",
     "MEDIA_TYPE_PARSERS",
+    "PARSE_FAIL",
 ]
 
 # assertion levels
@@ -43,34 +45,76 @@ _B64_RE = re.compile(r"^[A-Za-z0-9+/]*={0,2}$")
 
 
 def decode_base64(s: str) -> Optional[bytes]:
-    s2 = "".join(s.split())
-    if len(s2) % 4 != 0 or not _B64_RE.match(s2):
+    """``java.util.Base64.getDecoder()`` semantics (the reference's
+    checkBase64, ContentUtils.java:195-198): the BASIC decoder, so any
+    non-alphabet character — including whitespace — rejects; '=' may
+    appear only as final padding; the final padding is OPTIONAL
+    ("QQ" decodes like "QQ=="), but explicit padding must complete a
+    4-char quad and a 1-char final unit is always illegal."""
+    if not _B64_RE.match(s):
+        return None
+    data_len = len(s.rstrip("="))
+    pad = len(s) - data_len
+    rem = data_len % 4
+    if pad:
+        if rem not in (2, 3) or pad != 4 - rem:
+            return None
+    elif rem == 1:
         return None
     try:
-        return base64.b64decode(s2, validate=True)
+        return base64.b64decode(s[:data_len] + "=" * (-data_len % 4),
+                                validate=True)
     except (binascii.Error, ValueError):
         return None
 
 
-_QP_RE = re.compile(r"^(=([0-9A-F]{2}|\r\n)|[\t\r\n\x20-\x3c\x3e-\x7e])*$")
+def _hexval(b: int) -> int:
+    c = chr(b)
+    if "0" <= c <= "9":
+        return b - 0x30
+    if "a" <= c <= "f":
+        return b - 0x57
+    if "A" <= c <= "F":
+        return b - 0x37
+    return -1
 
 
 def decode_quoted_printable(s: str) -> Optional[bytes]:
-    if not _QP_RE.match(s):
-        return None
+    """Byte-walk port of the reference's checkQuotedPrintable
+    (ContentUtils.java:140-185): input is byte-ified as US_ASCII with
+    '?' substitution for unmappable chars (Java's encoder behavior),
+    '=' starts either a soft line break (=\\r, =\\n or =\\r\\n) or a
+    hex pair in EITHER case (Character.digit accepts a-f); literal
+    bytes are limited to 33-60, 62-126, TAB and SPACE — raw newlines
+    are NOT legal outside a soft break."""
+    data = s.encode("ascii", errors="replace")
     out = bytearray()
-    i, n = 0, len(s)
+    i, n = 0, len(data)
     while i < n:
-        c = s[i]
-        if c == "=":
-            if s[i + 1 : i + 3] == "\r\n":
-                i += 3
-                continue
-            out.append(int(s[i + 1 : i + 3], 16))
-            i += 3
-        else:
-            out.append(ord(c))
+        c = data[i]
+        if c == 0x3D:  # '='
             i += 1
+            if i >= n:
+                return None  # dangling '='
+            nxt = data[i]
+            if nxt in (0x0D, 0x0A):  # soft break
+                i += 1
+                if nxt == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
+                continue
+            i += 1
+            if i >= n:
+                return None  # not a full hex pair
+            h1, h2 = _hexval(nxt), _hexval(data[i])
+            if h1 < 0 or h2 < 0:
+                return None
+            out.append((h1 << 4) | h2)
+            i += 1
+        elif 33 <= c <= 60 or 62 <= c <= 126 or c in (9, 32):
+            out.append(c)
+            i += 1
+        else:
+            return None
     return bytes(out)
 
 
@@ -101,34 +145,87 @@ def decode_content(encoding: str, value: str,
     raw = dec(value)
     if raw is None:
         return False, None
-    try:
-        return True, raw.decode("utf-8")
-    except UnicodeDecodeError:
-        return True, None  # decoded but not text; media-type step decides
+    # the reference builds the decoded text with `new String(data,
+    # UTF_8)` (ContentUtils.java:185,197): invalid sequences become
+    # U+FFFD, never an error
+    return True, raw.decode("utf-8", errors="replace")
 
 
-def parse_json_media(text: str) -> Optional[Any]:
+class _ParseFail:
+    """Sentinel distinguishing 'parse failed' from a parsed JSON null."""
+
+
+PARSE_FAIL = _ParseFail()
+
+
+def _reject_nonfinite(name: str):
+    # Jackson default: NaN / Infinity / -Infinity are not legal JSON
+    raise ValueError(f"non-finite literal {name}")
+
+
+_JACKSONISH_DECODER = json_mod.JSONDecoder(
+    parse_float=_Decimal, parse_constant=_reject_nonfinite)
+_JSON_WS = re.compile(r"[ \t\n\r]*")
+
+
+def parse_json_media(text: str) -> Any:
+    """Jackson ``JsonMapper.readTree`` defaults (the reference's
+    JsonUtils.parse): one JSON value parsed off the front, trailing
+    tokens IGNORED (FAIL_ON_TRAILING_TOKENS is off by default),
+    non-finite number literals rejected. Returns PARSE_FAIL (never
+    None — JSON null parses to None) on failure."""
     try:
-        return parse_json(text)
+        v, _ = _JACKSONISH_DECODER.raw_decode(text, _JSON_WS.match(text).end())
+        return v
     except (ValueError, RecursionError):
-        return None
+        return PARSE_FAIL
 
 
-MEDIA_TYPE_PARSERS: dict[str, Callable[[str], Optional[Any]]] = {
+def is_jsonish_media(media_type: str) -> bool:
+    """``MimeType.hasJsonContent`` (MimeType.java:47-49): parameters
+    stripped, case-insensitive; application/<...>json (any subtype
+    ending in "json", so ld+json / geo+json / plain json) plus the
+    reference's application/jwt quirk."""
+    mime = media_type.split(";")[0]
+    if "/" not in mime:
+        return False
+    typ, sub = mime.split("/", 1)
+    typ, sub = typ.strip().lower(), sub.strip().lower()
+    return typ == "application" and (sub.endswith("json") or sub == "jwt")
+
+
+MEDIA_TYPE_PARSERS: dict[str, Callable[[str], Any]] = {
     "application/json": parse_json_media,
 }
 
 
+def is_known_media(media_type: str, extra: Optional[dict] = None) -> bool:
+    """True when some parser (user-registered, built-in, or the JSON
+    suffix predicate) handles this media type — i.e. contentSchema has
+    a parsed value to validate."""
+    return bool((extra or {}).get(media_type.lower())
+                or MEDIA_TYPE_PARSERS.get(media_type.lower())
+                or is_jsonish_media(media_type))
+
+
 def parse_media_type(media_type: str, text: str,
-                     extra: Optional[dict] = None) -> tuple[bool, Optional[Any]]:
+                     extra: Optional[dict] = None) -> tuple[bool, Any]:
     """Returns (parse_ok, parsed_value). Unknown media types pass.
     ``extra`` holds user-registered parsers (MimeTypeValidator
-    registration analogue) consulted before the built-ins."""
+    registration analogue) consulted before the built-ins; user parsers
+    keep the None-means-failure contract, the built-in JSON parser uses
+    the PARSE_FAIL sentinel so JSON null round-trips."""
     parser = ((extra or {}).get(media_type.lower())
               or MEDIA_TYPE_PARSERS.get(media_type.lower()))
+    if parser is None and is_jsonish_media(media_type):
+        parser = parse_json_media
     if parser is None:
         return True, None
     if text is None:
         return False, None
     v = parser(text)
-    return (v is not None or text.strip() == "null"), v
+    if v is PARSE_FAIL:
+        return False, None
+    if v is None and parser is not parse_json_media:
+        return (text.strip() == "null"), None
+    return True, v
