@@ -139,6 +139,11 @@ def is_ipv4(s: str) -> bool:
 
 
 def is_ipv6(s: str) -> bool:
+    """The reference's format-ipv6 checker (common/Ipv6Validator.java)
+    strips one [bracket] layer — it doubles as the IRI authority
+    predicate — and rejects zone ids ('%' is not a hex digit there)."""
+    if s.startswith("[") and s.endswith("]"):
+        s = s[1:-1]
     if "%" in s:
         return False
     try:
@@ -268,29 +273,66 @@ def is_iri_reference(s: str) -> bool:
 
 # ---------------------------------------------------------------- uri-template
 
-_VARCHAR = r"(?:[A-Za-z0-9_]|%[0-9A-Fa-f]{2})"
-_VARNAME = rf"{_VARCHAR}(?:\.?{_VARCHAR})*"
-_VARSPEC = rf"{_VARNAME}(?::[1-9][0-9]{{0,3}}|\*)?"
-_EXPR_RE = re.compile(rf"^[+#./;?&=,!@|]?{_VARSPEC}(,{_VARSPEC})*$")
-_LITERAL_ILLEGAL = re.compile(r"[\x00-\x20\"'<>\\^`|}{]")
+_TPL_VARCHAR = r"(?:[A-Za-z0-9_]|%[0-9A-Fa-f]{2})"
+_TPL_VARNAME = re.compile(rf"{_TPL_VARCHAR}+(?:\.{_TPL_VARCHAR}+)*")
+# the reference's operator enum: RFC 6570 level-1..4 ops plus its
+# nonstandard ':' (NAMESPACE) — and NOT the RFC's reserved "=,!@|"
+# (URITemplateOperator.java:12-24, valueOf matches enum chars only)
+_TPL_OPERATORS = frozenset("+./;?&#:")
+
+
+def _template_varspec_ok(spec: str) -> bool:
+    """``URIVarComponent.parse`` semantics: varname over ASCII \\w |
+    pct-encoded with dot-separated runs; explode OR a ':' prefix length
+    that Integer.parseInt accepts (optional sign, leading zeros) in
+    1..10000 inclusive (URIVarComponent.java:80-93)."""
+    if not spec:
+        return False
+    if spec.endswith("*"):
+        return _TPL_VARNAME.fullmatch(spec[:-1]) is not None
+    idx = spec.find(":", 1)
+    if idx == len(spec) - 1:
+        return False
+    if idx > 0:
+        tail = spec[idx + 1:]
+        if not re.fullmatch(r"[+-]?[0-9]+", tail) or not 1 <= int(tail) <= 10000:
+            return False
+        spec = spec[:idx]
+    return _TPL_VARNAME.fullmatch(spec) is not None
+
+
+def _template_expr_ok(expr: str) -> bool:
+    if not expr:
+        return False
+    if expr[0] in _TPL_OPERATORS:
+        expr = expr[1:]
+        if not expr:
+            return False
+    parts = expr.split(",")
+    # Java String.split(",") drops trailing empty segments, so the
+    # reference accepts "{a,}" / "{a,,}" (URITemplateVariable.java:30)
+    while len(parts) > 1 and parts[-1] == "":
+        parts.pop()
+    return all(_template_varspec_ok(p) for p in parts)
 
 
 def is_uri_template(s: str) -> bool:
-    """RFC6570 syntax check (operators, varspecs, prefix/explode
-    modifiers) — mirrors ``common/uritemplate/URITemplateParser.java``."""
+    """Brace-structure + varspec check mirroring
+    ``common/uritemplate/URITemplateParser.java``: literal text is NOT
+    validated (onTextFragment is a no-op in the parse() listener), so
+    spaces and other illegal-URI characters are accepted outside
+    expressions."""
     i, n = 0, len(s)
     while i < n:
         c = s[i]
         if c == "{":
             j = s.find("}", i + 1)
-            if j < 0 or not _EXPR_RE.match(s[i + 1 : j]):
+            if j < 0 or not _template_expr_ok(s[i + 1 : j]):
                 return False
             i = j + 1
         elif c == "}":
             return False
         else:
-            if _LITERAL_ILLEGAL.match(c):
-                return False
             i += 1
     return True
 
@@ -605,6 +647,31 @@ def _email_domain_ok(domain: str) -> bool:
     return _DOMAIN_LABEL_RE.fullmatch(ascii_d) is not None
 
 
+def _email_ipv6_ok(addr: str) -> bool:
+    """The email path's v6 check is the vendored commons
+    InetAddressValidator.isValidInet6Address
+    (InetAddressValidator.java:134-160), which — unlike the format-ipv6
+    Ipv6Validator — allows an optional /prefix (0-255), an optional
+    %zone (no whitespace, '/' or '%'), and strips an exact "IPv6:"
+    prefix; it does NOT strip brackets."""
+    parts = addr.split("/")
+    if len(parts) > 2:
+        return False
+    if len(parts) == 2:
+        if not re.fullmatch(r"[0-9]+", parts[1]) or int(parts[1]) > 255:
+            return False
+    head, pct, zone = parts[0].partition("%")
+    if pct and (not zone or re.search(r"[ \t\n\x0b\f\r/%]", zone)):
+        return False
+    if head.startswith("IPv6:"):
+        head = head[5:]
+    try:
+        ipaddress.IPv6Address(head)
+        return True
+    except ValueError:
+        return False
+
+
 def _email_ok(s: str) -> bool:
     if not s or s.endswith("."):
         return False
@@ -616,11 +683,9 @@ def _email_ok(s: str) -> bool:
         return False
     if domain.startswith("[") and domain.endswith("]"):
         inner = domain[1:-1]
-        # the vendored InetAddressValidator strips an exact "IPv6:"
-        # prefix before the v6 check (InetAddressValidator.java:158-159)
         if is_ipv4(inner):
             return True
-        return is_ipv6(inner[5:] if inner.startswith("IPv6:") else inner)
+        return _email_ipv6_ok(inner)
     return _email_domain_ok(domain)
 
 
