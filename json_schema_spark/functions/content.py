@@ -4,10 +4,12 @@ Mirrors the reference's chained pipeline (decode → media-type parse →
 subschema) from ``compilers/ContentTypesCompilerFactory.java:31-175`` and
 ``common/content/ContentUtils.java:22-199``:
 
-* built-in encodings: strict ``base64`` (reject non-alphabet chars and
-  bad padding — Spark's ``unbase64`` is lenient, hence this module),
-  ``quoted-printable``, ``7bit``;
-* built-in media type: JSON;
+* built-in encodings: ``base64`` with java.util.Base64 BASIC-decoder
+  semantics (any non-alphabet char rejects — Spark's ``unbase64`` is
+  lenient, hence this module — while final padding is optional),
+  ``quoted-printable`` (byte-walk of the reference's check), ``7bit``;
+* built-in media types: application/*json suffixes + application/jwt,
+  parsed with Jackson-readTree defaults;
 * assertion levels (``IContentProcessing.java:8-32``): draft-07 asserts
   encoding+mediaType by default, 2019-09/2020-12 treat them as
   annotations unless explicitly enabled.
