@@ -122,20 +122,29 @@ UUID_RE = r"(?i)^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
 # default flags (ASCII \d, CommonFormatValidations.java:13), and this
 # string is also shipped to rlike where the (?U) prefix would otherwise
 # turn \d Unicode. "1٣.0.0.1" must NOT validate.
-IPV4_RE = (
-    r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
-    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+_IPV4_CORE = (
+    r"((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 )
+IPV4_RE = "^" + _IPV4_CORE + "$"
+# the reference checks ipv4 with asPredicate() (find) and a Java `$`,
+# which tolerates ONE final line terminator — "1.2.3.4\n" is valid
+# there; Python `$` only tolerates \n, so the kernel spells the Java
+# terminator set out (the rlike path gets this behavior natively)
+_IPV4_FIND_RE = re.compile(
+    "^" + _IPV4_CORE + r"(?:\r\n|[\n\r\x85\u2028\u2029])?\Z")
 JSON_POINTER_RE = r"^(/([^/~]|~[01])*)*$"
 REL_JSON_POINTER_RE = r"^(0|[1-9][0-9]*)(#|(/([^/~]|~[01])*)*)$"
 
 
 def is_uuid(s: str) -> bool:
-    return re.match(UUID_RE, s) is not None
+    # the reference uses asMatchPredicate() — the ENTIRE input must
+    # match, so a trailing newline rejects (unlike ipv4's find check)
+    return re.fullmatch(UUID_RE, s) is not None
 
 
 def is_ipv4(s: str) -> bool:
-    return re.match(IPV4_RE, s) is not None
+    return _IPV4_FIND_RE.match(s) is not None
 
 
 def is_ipv6(s: str) -> bool:
@@ -726,10 +735,16 @@ FORMAT_VALIDATORS: dict[str, Callable[[str], bool]] = {
 # formats whose check is a single anchored regex — these compile to a
 # JVM-side ``rlike`` Column instead of a pandas UDF (SURVEY §2.8).
 FORMAT_REGEXES: dict[str, str] = {
-    "uuid": UUID_RE,
+    # Java-side (rlike) variants. uuid and the pointers must match the
+    # ABSOLUTE end of input like the kernel's fullmatch / the
+    # reference's asMatchPredicate()/char-walk, so their `$` (which in
+    # Java tolerates a final line terminator) becomes `\z`. ipv4 keeps
+    # `$`: the reference checks it with asPredicate() (find), whose
+    # terminator tolerance Java `$` reproduces natively.
+    "uuid": UUID_RE.replace("$", r"\z"),
     "ipv4": IPV4_RE,
-    "json-pointer": JSON_POINTER_RE,
-    "relative-json-pointer": REL_JSON_POINTER_RE,
+    "json-pointer": JSON_POINTER_RE.replace("$", r"\z"),
+    "relative-json-pointer": REL_JSON_POINTER_RE.replace("$", r"\z"),
 }
 
 
