@@ -34,6 +34,7 @@ from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 
 from ..functions import content as content_mod
+from ..functions import formats as formats_mod
 from ..functions.formats import FORMAT_VALIDATORS
 from .jsonvalue import (
     canon_key,
@@ -492,7 +493,9 @@ class _Compiler:
 
     def _compile_regex(self, pattern: str) -> "re.Pattern":
         try:
-            return re.compile(pattern)
+            # align Python $ / \Z / \z with java.util.regex anchoring
+            # (the reference's dialect — formats.java_dialect_rewrite)
+            return re.compile(formats_mod.java_dialect_rewrite(pattern))
         except re.error as e:
             raise SchemaCompileError(f"bad regex {pattern!r}: {e}") from e
 

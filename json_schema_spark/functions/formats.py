@@ -170,6 +170,64 @@ def is_relative_json_pointer(s: str) -> bool:
     return re.fullmatch(REL_JSON_POINTER_RE, s) is not None
 
 
+# Java's default (non-MULTILINE) `$` and `\Z` match before ONE final
+# line terminator from {\n, \r\n, \r, \x85, \u2028, \u2029}; Python's
+# `$` tolerates only \n and `\Z` is absolute. Since the reference
+# compiles schema regexes with java.util.regex (RegexFactory.java:20),
+# the kernel rewrites unescaped, outside-class `$`/`\Z` to the Java
+# lookahead (and Java's absolute `\z` to Python's `\Z`) so both engines
+# and the reference agree on terminator-tailed strings.
+_JAVA_EOL = r"(?=(?:\r\n|[\n\r\x85\u2028\u2029])?\Z)"
+
+
+_JAVA_DOT = r"[^\n\r\x85\u2028\u2029]"
+
+
+def java_dialect_rewrite(pattern: str) -> str:
+    do_anchor = "(?m" not in pattern  # MULTILINE redefines $ per line
+    do_dot = "(?s" not in pattern     # DOTALL makes . match everything
+    if not (do_anchor or do_dot):
+        return pattern
+    out = []
+    i, n = 0, len(pattern)
+    in_class = False
+    class_start = -1
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            nxt = pattern[i + 1]
+            if not in_class and do_anchor and nxt == "Z":
+                out.append(_JAVA_EOL)
+            elif not in_class and do_anchor and nxt == "z":
+                out.append(r"\Z")
+            else:
+                out.append(pattern[i:i + 2])
+            i += 2
+            continue
+        if not in_class:
+            if c == "[":
+                in_class = True
+                class_start = i
+            elif c == "$" and do_anchor:
+                out.append(_JAVA_EOL)
+                i += 1
+                continue
+            elif c == "." and do_dot:
+                # Java default `.` excludes ALL line terminators
+                # (\n \r \x85 \u2028 \u2029); Python's only \n
+                out.append(_JAVA_DOT)
+                i += 1
+                continue
+        elif c == "]":
+            # a ']' immediately after '[' or '[^' is a literal member
+            lead = i - class_start
+            if not (lead == 1 or (lead == 2 and pattern[class_start + 1] == "^")):
+                in_class = False
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 # format:"regex" asks "does this compile in the regex dialect in use";
 # the reference's default dialect is java.util.regex
 # (FormatCompiler.java:69 -> validateRegex -> RegexFactory.java:20), so

@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 
 from ..core.jsonvalue import to_decimal
 from ..core.registry import SchemaRegistry
-from ..functions.formats import FORMAT_REGEXES
+from ..functions.formats import FORMAT_REGEXES, java_dialect_rewrite
 
 __all__ = ["Check", "ExprUnsupported", "VariantCompiler", "TypedRowCompiler", "DEC"]
 
@@ -146,7 +146,10 @@ class _BaseCompiler:
         if self.custom_regex_dialect:
             raise ExprUnsupported("custom regex dialect needs the UDF kernel")
         try:
-            re.compile(pattern)
+            # validate the Java-anchoring rewrite (it maps Java-only
+            # \z to \Z, so e.g. "a\z" stays on the JVM rlike path);
+            # the RAW pattern is returned — Java reads it natively
+            re.compile(java_dialect_rewrite(pattern))
         except re.error as e:
             raise ExprUnsupported(f"regex not compilable: {pattern!r}: {e}") from e
         return pattern
@@ -934,7 +937,7 @@ class TypedRowCompiler(_BaseCompiler):
         pats = node.get("patternProperties") or {}
         if pats:
             for rx, sub in pats.items():
-                crx = re.compile(self._regex(rx))  # Python re: Unicode classes, search semantics
+                crx = re.compile(java_dialect_rewrite(self._regex(rx)))  # Python re, Java anchoring
                 for n in field_names:
                     if crx.search(n):
                         checks.extend(self.compile(sub, self._field(val, n), path + (n,)))
@@ -949,7 +952,7 @@ class TypedRowCompiler(_BaseCompiler):
 
         if "additionalProperties" in node:
             known = set((node.get("properties") or {}).keys())
-            crxs = [re.compile(self._regex(r)) for r in pats]
+            crxs = [re.compile(java_dialect_rewrite(self._regex(r))) for r in pats]
             extra = [n for n in field_names
                      if n not in known and not any(r.search(n) for r in crxs)]
             sub = node["additionalProperties"]
@@ -1110,7 +1113,7 @@ class TypedRowCompiler(_BaseCompiler):
             return self._map_unevaluated_props(sub, names, pats, val, path)
         else:
             return []  # non-object: keyword no-ops
-        rxs = [re.compile(self._regex(r)) for r in pats]
+        rxs = [re.compile(java_dialect_rewrite(self._regex(r))) for r in pats]
         leftovers = [n for n in field_names
                      if n not in names and not any(r.search(n) for r in rxs)]
         checks: list[Check] = []

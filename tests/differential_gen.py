@@ -31,8 +31,12 @@ KEYS = ["a", "b", "c", "k"]
 # non-ASCII strings catch Unicode-class divergences between the Java
 # rlike path (needs the (?U) flag) and Python re (Unicode by default) —
 # Arabic-Indic digits, accented letters, combining marks, CJK
+# "b\n" exercises $-anchoring on terminator-tailed strings (Python's $
+# and Java's $ agree on a single \n tail, so the library comparison
+# stays sound; \r\n tails — where they differ — live in the
+# javaregex_dialect corpus, which the library gate skips)
 STRS = ["", "x", "ab", "abc", "hello world", "Zz9", "aXa",
-        "٣٤", "Ünïcode", "é", "数字12", "۴۵x"]
+        "٣٤", "Ünïcode", "é", "数字12", "۴۵x", "b\n"]
 NUMS = [0, 1, -1, 2, 3, 5, 10, 100, 1.0, 2.5, -0.5]
 PATTERNS = ["^a", "b$", "[0-9]+", "^[a-z]{2,4}$", "c", "^Z",
             "^\\d+$", "\\w", "^\\d"]
