@@ -1,0 +1,78 @@
+"""Unit tests for java_dialect_rewrite — the kernel's bridge to
+java.util.regex anchoring/dot semantics (the reference's dialect,
+``common/regex/RegexFactory.java:20``). The javaregex_dialect corpus
+pins end-to-end verdicts; these pin the string surgery itself."""
+
+import re
+
+import pytest
+
+from json_schema_spark.functions.formats import java_dialect_rewrite as J
+
+TERMS = ["\n", "\r\n", "\r", "\x85", "\u2028", "\u2029"]
+
+
+@pytest.mark.parametrize("tail", TERMS)
+def test_dollar_accepts_each_java_terminator(tail):
+    assert re.search(J("a$"), "a" + tail)
+
+
+def test_dollar_rejects_double_terminator():
+    assert not re.search(J("a$"), "a\n\n")
+    assert not re.search(J("a$"), "a\r\n\r\n")
+
+
+def test_escaped_dollar_stays_literal():
+    assert re.search(J(r"a\$"), "a$")
+    assert not re.search(J(r"a\$"), "a\r\n")
+
+
+def test_class_dollar_stays_literal():
+    assert re.search(J("[$]"), "$")
+    assert not re.search(J("[$]"), "a")
+
+
+def test_class_leading_bracket_literal():
+    # ']' first in a class is a literal member — the '$' after it is
+    # still inside the class
+    assert re.search(J("[]$]*x"), "]$x")
+    assert re.search(J("[^]]$"), "a\r\n")
+
+
+def test_java_Z_and_z():
+    assert re.search(J(r"a\Z"), "a\r\n")       # Java \Z tolerates one terminator
+    assert not re.search(J(r"a\Z"), "a\nb")
+    assert re.search(J(r"a\z"), "a")           # Java \z = absolute end
+    assert not re.search(J(r"a\z"), "a\n")
+
+
+def test_escaped_backslash_before_z_not_an_anchor():
+    # "\\z" is literal backslash + z in both dialects
+    assert re.search(J(r"a\\z"), "a\\z")
+    assert J(r"a\\z") == r"a\\z"
+
+
+def test_dot_excludes_java_terminators():
+    for t in TERMS:
+        if t == "\r\n":
+            continue
+        assert not re.search(J("a.b"), f"a{t}b"), repr(t)
+    assert re.search(J("a.b"), "axb")
+
+
+def test_dot_literal_in_class_and_escape():
+    assert re.search(J("a[.]b"), "a.b")
+    assert not re.search(J("a[.]b"), "axb")
+    assert re.search(J(r"a\.b"), "a.b")
+    assert not re.search(J(r"a\.b"), "axb")
+
+
+def test_inline_flags_disable_the_rewrites():
+    assert J("(?m)^a$") == "(?m)^a$"
+    assert re.search(J("(?s)a.b"), "a\rb")
+    # (?s) disables only the dot rewrite; $ still Java-anchored
+    assert re.search(J("(?s)a$"), "a\r\n")
+
+
+def test_quantified_dollar_free_pattern_untouched():
+    assert J("abc[0-9]+") == "abc[0-9]+"
