@@ -183,9 +183,17 @@ _JAVA_EOL = r"(?=(?:\r\n|[\n\r\x85\u2028\u2029])?\Z)"
 _JAVA_DOT = r"[^\n\r\x85\u2028\u2029]"
 
 
+# inline flag groups: (?im) (?s:...) (?i-m:...) — letters before a '-'
+# are ENABLED flags; letters after it are disabled and must not count
+_INLINE_FLAGS = re.compile(r"\(\?([a-zA-Z]*)(?:-[a-zA-Z]+)?[):]")
+
+
 def java_dialect_rewrite(pattern: str) -> str:
-    do_anchor = "(?m" not in pattern  # MULTILINE redefines $ per line
-    do_dot = "(?s" not in pattern     # DOTALL makes . match everything
+    enabled: set[str] = set()
+    for m in _INLINE_FLAGS.finditer(pattern):
+        enabled.update(m.group(1))
+    do_anchor = "m" not in enabled  # MULTILINE redefines $ per line
+    do_dot = "s" not in enabled     # DOTALL makes . match everything
     if not (do_anchor or do_dot):
         return pattern
     out = []
@@ -235,7 +243,7 @@ def java_dialect_rewrite(pattern: str) -> str:
 # syntax Java rejects is refused, and common Java-only atoms are
 # rewritten into Python-compilable placeholders before the compile
 # check. A custom regex_factory (CompileConfig) replaces this wholesale.
-_PY_ONLY_REGEX = re.compile(r"\((?:\?P[<=>]|\?\()")  # (?P<  (?P=  (?P>  (?(
+_PY_ONLY_REGEX = re.compile(r"\((?:\?P[<=>]|\?\(|\?#)")  # (?P<  (?P=  (?P>  (?(  (?#comment
 _JAVA_REWRITES = [
     (re.compile(r"\\[pP]\{[^{}]*\}"), "a"),           # \p{Alpha}, \P{Sc=Grek}
     (re.compile(r"\(\?<([A-Za-z][A-Za-z0-9]*)>"), r"(?P<\1>"),  # named group
@@ -244,11 +252,37 @@ _JAVA_REWRITES = [
 ]
 
 
+def _java_class_escapes_ok(t: str) -> bool:
+    """Java rejects the boundary/linebreak escapes \\R \\G \\z INSIDE a
+    character class (the \\[eEQRGzhHvV] placeholder rewrite below would
+    otherwise make ``[\\R]`` compile even though Pattern.compile
+    throws). Escaped backslashes must already be hidden in ``t``."""
+    i, n, in_class, cs = 0, len(t), False, -1
+    while i < n:
+        c = t[i]
+        if c == "\\" and i + 1 < n:
+            if in_class and t[i + 1] in "RGz":
+                return False
+            i += 2
+            continue
+        if not in_class:
+            if c == "[":
+                in_class, cs = True, i
+        elif c == "]":
+            lead = i - cs
+            if not (lead == 1 or (lead == 2 and t[cs + 1] == "^")):
+                in_class = False
+        i += 1
+    return True
+
+
 def is_regex(s: str) -> bool:
     # hide escaped backslashes so "\\z" (literal backslash + z) is not
     # mistaken for the Java \z anchor, then restore before compiling
     t = s.replace("\\\\", "\x00")
     if _PY_ONLY_REGEX.search(t):
+        return False
+    if not _java_class_escapes_ok(t):
         return False
     for pat, repl in _JAVA_REWRITES:
         t = pat.sub(repl, t)
@@ -427,8 +461,11 @@ def _dlh_label_ok(label: str) -> bool:
     (``common/email/HostnameValidator.java:131-152``): xn-- labels
     punycode-decode and validate as unicode labels; others are LDH with
     hyphen rules and no '--' in positions 3-4."""
-    if label.lower().startswith("xn--"):
-        decoded = _decode_alabel(label)
+    # case-SENSITIVE like the reference (HostnameValidator.java:142):
+    # an uppercase "XN--" label takes the plain-DLH path below, where
+    # the positions-3-4 "--" rule rejects it
+    if label.startswith("xn--"):
+        decoded = _decode_alabel(label.lower())  # validateALabel lowercases
         if decoded is None or not decoded:
             return False
         return _unicode_label_ok(decoded)
@@ -656,8 +693,8 @@ def is_idn_hostname(s: str) -> bool:
         if label.isascii():
             if not _dlh_label_ok(label):
                 return False
-            if label.lower().startswith("xn--"):
-                decoded_labels.append(_decode_alabel(label) or label)
+            if label.startswith("xn--"):
+                decoded_labels.append(_decode_alabel(label.lower()) or label)
             else:
                 decoded_labels.append(label)
         else:
@@ -683,7 +720,13 @@ _EMAIL_VALID_CHAR = r"(?:\\.|[^" + _JAVA_WS + _EMAIL_SPECIAL + "])"
 _EMAIL_QUOTED = r'(?:"(?:\\"|[^"])*")'
 _EMAIL_WORD = "(?:(?:" + _EMAIL_VALID_CHAR + "|')+|" + _EMAIL_QUOTED + ")"
 _EMAIL_USER_RE = re.compile("^" + _EMAIL_WORD + r"(?:\." + _EMAIL_WORD + ")*$")
-_EMAIL_RE = re.compile(r"^(.+)@([^" + _JAVA_WS + r"]+)$")
+# Java's default '.' in EMAIL_REGEX "^(.+)@(\S+)$" excludes ALL line
+# terminators (\n \r \x85 \u2028 \u2029) — spell them out; Python '.'
+# excludes only \n and would let "a<U+2028>b@x.com" through (the domain
+# side is \S = non-ASCII-whitespace, which DOES admit U+2028 — the
+# domain validators then reject it, same as the reference).
+_EMAIL_RE = re.compile(
+    r"^([^\n\r\x85\u2028\u2029]+)@([^" + _JAVA_WS + r"]+)$")
 
 _DOMAIN_LABEL = r"[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
 _TOP_LABEL = r"[A-Za-z](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
@@ -718,14 +761,17 @@ def _email_ipv6_ok(addr: str) -> bool:
     """The email path's v6 check is the vendored commons
     InetAddressValidator.isValidInet6Address
     (InetAddressValidator.java:134-160), which — unlike the format-ipv6
-    Ipv6Validator — allows an optional /prefix (0-255), an optional
+    Ipv6Validator — allows an optional /prefix (1-3 digits, ≤128), an optional
     %zone (no whitespace, '/' or '%'), and strips an exact "IPv6:"
     prefix; it does NOT strip brackets."""
     parts = addr.split("/")
     if len(parts) > 2:
         return False
     if len(parts) == 2:
-        if not re.fullmatch(r"[0-9]+", parts[1]) or int(parts[1]) > 255:
+        # DIGITS_PATTERN is \d{1,3} (Java default = ASCII) and the
+        # range check is bits <= MAX_BYTE = 128
+        # (InetAddressValidator.java:40,64,141-148)
+        if not re.fullmatch(r"[0-9]{1,3}", parts[1]) or int(parts[1]) > 128:
             return False
     head, pct, zone = parts[0].partition("%")
     if pct and (not zone or re.search(r"[ \t\n\x0b\f\r/%]", zone)):

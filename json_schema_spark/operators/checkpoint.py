@@ -114,8 +114,37 @@ class ResumableRun:
         risk is observe() metrics double-counting under speculative
         task duplication — this read-back catches that without putting
         an extra job on the hot path (``run`` stays 2 jobs/bucket)."""
-        disk = (
-            spark.read.parquet(self.out_dir)
+        try:
+            on_disk = spark.read.parquet(self.out_dir)
+        except Exception:
+            # every bucket was empty: nothing was ever written, so there
+            # is no parquet schema to infer — audit against zero rows
+            on_disk = None
+        if on_disk is None:
+            disk = spark.createDataFrame(
+                [], "bucket int, disk_rows long, disk_violation_rows long, "
+                    "disk_digest_xor64 string")
+        else:
+            disk = self._disk_stats(on_disk)
+        man = self.manifest(spark).select("bucket", "rows", "violation_rows",
+                                          "digest_xor64")
+        joined = man.join(disk, "bucket", "full_outer")
+        # an EMPTY bucket appends a manifest row (rows=0, digest "0")
+        # but dynamic partition overwrite writes no __bucket directory —
+        # missing disk stats opposite a manifest row mean zero rows on
+        # disk, not a mismatch; a manifest-less disk partition still
+        # flags (its manifest side stays NULL)
+        return joined.filter(
+            ~(F.col("rows").eqNullSafe(F.coalesce(F.col("disk_rows"), F.lit(0)))
+              & F.col("violation_rows").eqNullSafe(
+                  F.coalesce(F.col("disk_violation_rows"), F.lit(0)))
+              & F.col("digest_xor64").eqNullSafe(
+                  F.coalesce(F.col("disk_digest_xor64"), F.lit("0"))))
+        )
+
+    def _disk_stats(self, on_disk: DataFrame) -> DataFrame:
+        return (
+            on_disk
             .groupBy(F.col("__bucket").cast("int").alias("bucket"))
             .agg(
                 F.count(F.lit(1)).alias("disk_rows"),
@@ -126,16 +155,6 @@ class ResumableRun:
                            " as string), cast(valid as string))) as string), 10, 16)"),
                     F.lit("0"),
                 ).alias("disk_digest_xor64"),
-            )
-        )
-        man = self.manifest(spark).select("bucket", "rows", "violation_rows",
-                                          "digest_xor64")
-        return (
-            man.join(disk, "bucket", "full_outer")
-            .filter(
-                ~(F.col("rows").eqNullSafe(F.col("disk_rows"))
-                  & F.col("violation_rows").eqNullSafe(F.col("disk_violation_rows"))
-                  & F.col("digest_xor64").eqNullSafe(F.col("disk_digest_xor64")))
             )
         )
 

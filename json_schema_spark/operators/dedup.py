@@ -21,6 +21,34 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+# One cached candidate set per operator call site: the persist is what
+# stops the verify join from recomputing the whole signature pipeline,
+# but a long-lived session (bench best-of-N loops, notebooks) would
+# otherwise accumulate one orphaned cache per invocation until LRU
+# eviction starts thrashing. Swapping releases the previous call's
+# blocks; the returned plan must therefore be consumed before the SAME
+# operator is invoked again (true for every caller in this repo).
+_LAST_PERSISTED: dict[str, DataFrame] = {}
+
+
+def _persist_swap(key: str, df: DataFrame) -> DataFrame:
+    prev = _LAST_PERSISTED.pop(key, None)
+    if prev is not None:
+        try:
+            if prev.sameSemantics(df):
+                # identical plan (warm re-run of the same query): keep
+                # the entry — the CacheManager would dedupe the persist
+                # anyway, and unpersisting first would throw away the
+                # warm hit for zero memory benefit
+                _LAST_PERSISTED[key] = prev
+                return prev
+            prev.unpersist(False)
+        except Exception:
+            pass
+    out = df.persist()
+    _LAST_PERSISTED[key] = out
+    return out
+
 __all__ = [
     "normalize_text",
     "exact_duplicates",
@@ -307,7 +335,7 @@ def minhash_lsh_pairs(
         cand_docs = docs.join(ids, "id", "left_semi")
         joined = hashed_shingles(cand_docs).join(melted, "id")
     else:
-        cand = cand.persist()
+        cand = _persist_swap("minhash_verify", cand)
         n_pairs = cand.count()
         melted = cand.select(
             "id_a", "id_b",
@@ -659,7 +687,7 @@ def embedding_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    cand = cand.persist()
+    cand = _persist_swap("embedding_verify", cand)
     n_pairs = cand.count()
     melted = cand.select(
         "id_a", "id_b", F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id")

@@ -64,14 +64,26 @@ def _argmax_assign_udf(cents_rows: list, dim: int):
              if any(x != 0.0 for x in vec)]
     cids = np.array([cid for cid, _ in elect], dtype=np.int32)
     C = np.array([vec for _, vec in elect], dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)) if len(elect) else C
 
     @F.pandas_udf("int")
     def assign(batch: pd.Series) -> pd.Series:
-        if len(batch) == 0:
-            return pd.Series([], dtype="int32")
-        M = np.array(batch.tolist(), dtype=np.float64)
-        return pd.Series(cids[np.argmax(M @ Cn.T, axis=1)])
+        n = len(batch)
+        if n == 0 or len(elect) == 0:
+            return pd.Series([None] * n, dtype="Int32")
+        # NULL / wrong-length embeddings assign NULL (same verdict the
+        # unrolled-SQL path produces for a NULL cv) instead of raising a
+        # ragged-array ValueError that kills every task
+        vals = batch.tolist()
+        ok = [i for i, v in enumerate(vals)
+              if v is not None and len(v) == dim]
+        res: list = [None] * n
+        if ok:
+            M = np.array([vals[i] for i in ok], dtype=np.float64)
+            ids = cids[np.argmax(M @ Cn.T, axis=1)]
+            for j, i in enumerate(ok):
+                res[i] = int(ids[j])
+        return pd.Series(res, dtype="Int32")
 
     return assign
 
@@ -117,9 +129,19 @@ def build_ivf(corpus: DataFrame, n_centroids: int = 16, vec_col: str = "embeddin
         sums = assigned.groupBy("centroid_id").agg(
             *[F.sum(F.col("cv")[j].cast("decimal(27,12)")).alias(f"s{j}") for j in range(dim)]
         ).collect()
+        # NULL-embedding rows carry a NULL centroid_id — they are not a
+        # cluster (and a sum over them is NULL anyway)
         cents_rows = sorted(
-            (int(r["centroid_id"]), [float(r[f"s{j}"]) for j in range(dim)]) for r in sums
+            (int(r["centroid_id"]), [float(r[f"s{j}"]) for j in range(dim)])
+            for r in sums
+            if r["centroid_id"] is not None and r["s0"] is not None
         )
+        if not any(any(x != 0.0 for x in vec) for _, vec in cents_rows):
+            # every cluster degenerate (all-zero embeddings): nothing is
+            # electable — assign NULL everywhere instead of crashing the
+            # norm (UDF path) or indexing an empty struct list (unroll)
+            assigned = c.withColumn("centroid_id", F.lit(None).cast("int"))
+            continue
         if not unroll:
             assigned = c.withColumn(
                 "centroid_id", _argmax_assign_udf(cents_rows, dim)(F.col("cv"))
@@ -143,8 +165,14 @@ def build_ivf(corpus: DataFrame, n_centroids: int = 16, vec_col: str = "embeddin
                 f"CAST({-cid} AS INT) AS nid)"
             )
         best = f"greatest({', '.join(structs)})" if len(structs) > 1 else structs[0]
+        # NULL cv must assign NULL (without the guard, every dot product
+        # is NULL, the structs tie on s and greatest picks an arbitrary
+        # centroid by the nid tie-break — silently wrong, and divergent
+        # from the gemm path)
         assigned = c.withColumn(
-            "centroid_id", F.expr(f"CAST(-(({best}).nid) AS INT)")
+            "centroid_id",
+            F.when(F.col("cv").isNull(), F.lit(None).cast("int"))
+            .otherwise(F.expr(f"CAST(-(({best}).nid) AS INT)")),
         )
     cents = corpus.sparkSession.createDataFrame(
         [(cid, vec) for cid, vec in cents_rows],

@@ -76,3 +76,22 @@ def test_inline_flags_disable_the_rewrites():
 
 def test_quantified_dollar_free_pattern_untouched():
     assert J("abc[0-9]+") == "abc[0-9]+"
+
+
+def test_combined_inline_flags_detected():
+    # (?im)/(?is): the old substring check ("(?m" / "(?s") missed the
+    # combined forms and broke the flags by rewriting $ / .
+    assert J("(?im)^b$") == "(?im)^b$"
+    assert J("(?is)a.b") == "(?is)a.b"
+    assert re.search(J("(?im)^b$"), "a\nB\nc")
+    assert re.search(J("(?is)a.b"), "a\rb")
+
+
+def test_disabled_inline_flags_still_rewrite():
+    # m/s AFTER the '-' are disabled — the rewrite must still apply
+    assert "(?=" in J("(?i-m:x)$")
+    assert "[^" in J("(?i-s:a.b)")
+
+
+def test_only_i_flag_still_rewrites():
+    assert re.search(J("(?i)B$"), "b\r\n")

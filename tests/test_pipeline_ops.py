@@ -456,3 +456,53 @@ def test_multimodal_real_bmp_decode(spark):
         assert feats[i]["width"] == w and feats[i]["height"] == h
         assert abs(feats[i]["mean_luma"] - mean) < 1e-9
         assert feats[i]["n_bytes"] > 54
+
+
+def test_ivf_null_and_degenerate_inputs(spark):
+    """A NULL embedding must assign a NULL centroid on BOTH assignment
+    paths (the unrolled greatest() would otherwise tie on NULL dots and
+    pick an arbitrary centroid via the nid tie-break; the gemm UDF
+    would die on a ragged np.array), and an all-zero corpus — no
+    electable centroid — must assign NULL everywhere instead of
+    crashing the norm / indexing an empty struct list."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 2.0]), (2, None), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>")
+    for unroll_limit in (4096, 1):
+        a, _ = build_ivf(df, n_centroids=2, iters=2, max_unroll_terms=unroll_limit)
+        got = {r["item_id"]: r["centroid_id"] for r in a.collect()}
+        assert got[2] is None, (unroll_limit, got)
+        assert all(got[i] is not None for i in (0, 1, 3)), (unroll_limit, got)
+
+    zeros = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    for unroll_limit in (4096, 1):
+        a, _ = build_ivf(zeros, n_centroids=2, iters=2, max_unroll_terms=unroll_limit)
+        assert [r["centroid_id"] for r in a.collect()] == [None, None]
+
+
+def test_candidate_persist_is_swapped_not_leaked(spark, docs):
+    """Gated-mode LSH verify persists its candidate set; invoking the
+    operator again (bench warm loops) must release the previous call's
+    cached blocks instead of accumulating them for the session's
+    lifetime."""
+    from json_schema_spark.operators import dedup as D
+
+    def cached_rdd_ids():
+        sc = spark.sparkContext
+        return {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+
+    D._LAST_PERSISTED.clear()
+    docs.count()  # materialize the fixture's own cache BEFORE the baseline
+    before = cached_rdd_ids()
+    # two DIFFERENT inputs → two distinct cache entries if leaked (same
+    # input would dedupe in the CacheManager and mask a leak)
+    first = D.minhash_lsh_pairs(docs.limit(100), max_broadcast_pairs=10_000)
+    first.count()
+    first_ids = cached_rdd_ids() - before
+    assert first_ids, "gated mode should persist the candidate set"
+    second = D.minhash_lsh_pairs(docs.limit(120), max_broadcast_pairs=10_000)
+    second.count()
+    after_ids = cached_rdd_ids() - before
+    assert not (first_ids & after_ids), "previous call's cache was leaked"
+    assert len(D._LAST_PERSISTED) == 1

@@ -231,3 +231,28 @@ def test_checkpoint_single_pass_per_bucket(spark, tmp_path):
         f"{new_jobs} jobs for {len(processed)} buckets — bucket work is "
         "re-reading its own output"
     )
+
+
+def test_checkpoint_empty_buckets_reconcile_clean(spark, tmp_path):
+    """An empty bucket appends a manifest row (rows=0, digest "0") but
+    dynamic partition overwrite writes no __bucket directory — the
+    audit must read that as zero rows on disk, not a mismatch (and must
+    survive the all-buckets-empty case, where the verdict dir has no
+    parquet schema at all)."""
+    df = source_code_table(spark, 10, partitions=2)  # 10 rows, 32 buckets
+    run = ResumableRun(str(tmp_path / "runeb"), n_buckets=32)
+    validate = lambda d: validate_source_table(d, with_sha=False).select(
+        "row_id", "valid", F.to_json("violations").alias("violations_json")
+    )
+    run.run(df, validate)
+    man = run.manifest(spark)
+    assert man.count() == 32
+    assert man.filter(F.col("rows") == 0).count() > 0  # some buckets ARE empty
+    assert run.reconcile(spark).count() == 0
+
+    # all-empty run: zero input rows, nothing ever written
+    empty = df.filter(F.lit(False))
+    run2 = ResumableRun(str(tmp_path / "runempty"), n_buckets=4)
+    run2.run(empty, validate)
+    assert run2.manifest(spark).count() == 4
+    assert run2.reconcile(spark).count() == 0
