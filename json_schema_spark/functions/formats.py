@@ -176,9 +176,22 @@ def is_relative_json_pointer(s: str) -> bool:
 # compiles schema regexes with java.util.regex (RegexFactory.java:20),
 # the kernel rewrites unescaped, outside-class `$`/`\Z` to the Java
 # lookahead (and Java's absolute `\z` to Python's `\Z`) so both engines
-# and the reference agree on terminator-tailed strings.
-_JAVA_EOL = r"(?=(?:\r\n|[\n\r\x85\u2028\u2029])?\Z)"
+# and the reference agree on terminator-tailed strings. One subtlety
+# from java.util.regex's Dollar node: there is NO match between the \r
+# and \n of a final \r\n — hence the (?<!\r) guard on the lone-\n arm.
+_JAVA_EOL = r"(?=(?:\r\n?|(?<!\r)\n|[\x85\u2028\u2029])?\Z)"
 
+# Java MULTILINE `$`: before EVERY line terminator (with \r\n one unit —
+# no match between the \r and the \n) and at absolute end; `^`: at
+# start and after every terminator (again not between \r and \n) but
+# NEVER at end of input: java.util.regex's Caret node refuses i == to
+# ("Perl does not match ^ at end of input even after newline"), which
+# also makes (?m)^ fail to find() on the empty string. Python's
+# multiline anchors honor only \n, so the Java semantics are spelled
+# out as zero-width alternations (fixed-width lookbehinds as Python
+# requires) plus the end-of-input guard.
+_JAVA_ML_DOLLAR = r"(?:(?=[\r\x85\u2028\u2029])|(?<!\r)(?=\n)|\Z)"
+_JAVA_ML_CARET = r"(?:^|(?<=[\n\x85\u2028\u2029])|(?<=\r)(?!\n))(?!\Z)"
 
 _JAVA_DOT = r"[^\n\r\x85\u2028\u2029]"
 
@@ -186,16 +199,34 @@ _JAVA_DOT = r"[^\n\r\x85\u2028\u2029]"
 # inline flag groups: (?im) (?s:...) (?i-m:...) — letters before a '-'
 # are ENABLED flags; letters after it are disabled and must not count
 _INLINE_FLAGS = re.compile(r"\(\?([a-zA-Z]*)(?:-[a-zA-Z]+)?[):]")
+# a whole-pattern flag group at position 0, e.g. "(?im)rest"
+_HEAD_FLAGS = re.compile(r"^\(\?([a-zA-Z]+)\)")
 
 
 def java_dialect_rewrite(pattern: str) -> str:
     enabled: set[str] = set()
     for m in _INLINE_FLAGS.finditer(pattern):
         enabled.update(m.group(1))
-    do_anchor = "m" not in enabled  # MULTILINE redefines $ per line
-    do_dot = "s" not in enabled     # DOTALL makes . match everything
-    if not (do_anchor or do_dot):
-        return pattern
+    do_dot = "s" not in enabled  # DOTALL: `.` matches all in BOTH dialects
+    # MULTILINE handling has two tiers. If `m` is enabled by ONE head
+    # flag group governing the whole pattern, strip it and spell the
+    # Java multiline anchors out (multiline = True). If `m` appears in
+    # any other form (scoped group, mid-pattern, after a '-'), leave
+    # ^/$ untouched — Python multiline semantics, a documented
+    # approximation. `\Z`/`\z` are rewritten in EVERY tier: Java's \Z
+    # and \z ignore MULTILINE entirely.
+    multiline = False
+    do_dollar = "m" not in enabled
+    head = _HEAD_FLAGS.match(pattern)
+    if not do_dollar and head and "m" in head.group(1):
+        rest = pattern[head.end():]
+        others: set[str] = set()
+        for m in _INLINE_FLAGS.finditer(rest):
+            others.update(m.group(1))
+        if "m" not in others:
+            multiline = True
+            kept = head.group(1).replace("m", "")
+            pattern = (f"(?{kept})" if kept else "") + rest
     out = []
     i, n = 0, len(pattern)
     in_class = False
@@ -204,9 +235,9 @@ def java_dialect_rewrite(pattern: str) -> str:
         c = pattern[i]
         if c == "\\" and i + 1 < n:
             nxt = pattern[i + 1]
-            if not in_class and do_anchor and nxt == "Z":
+            if not in_class and nxt == "Z":
                 out.append(_JAVA_EOL)
-            elif not in_class and do_anchor and nxt == "z":
+            elif not in_class and nxt == "z":
                 out.append(r"\Z")
             else:
                 out.append(pattern[i:i + 2])
@@ -216,8 +247,16 @@ def java_dialect_rewrite(pattern: str) -> str:
             if c == "[":
                 in_class = True
                 class_start = i
-            elif c == "$" and do_anchor:
+            elif c == "$" and multiline:
+                out.append(_JAVA_ML_DOLLAR)
+                i += 1
+                continue
+            elif c == "$" and do_dollar:
                 out.append(_JAVA_EOL)
+                i += 1
+                continue
+            elif c == "^" and multiline:
+                out.append(_JAVA_ML_CARET)
                 i += 1
                 continue
             elif c == "." and do_dot:

@@ -68,10 +68,28 @@ def test_dot_literal_in_class_and_escape():
 
 
 def test_inline_flags_disable_the_rewrites():
-    assert J("(?m)^a$") == "(?m)^a$"
     assert re.search(J("(?s)a.b"), "a\rb")
     # (?s) disables only the dot rewrite; $ still Java-anchored
     assert re.search(J("(?s)a$"), "a\r\n")
+
+
+def test_head_multiline_flag_spelled_out():
+    # a whole-pattern (?m) is stripped and the Java MULTILINE anchors
+    # are spelled out: $ before every terminator (\r is a line break,
+    # \r\n one unit), ^ after every terminator EXCEPT at end of input
+    # (java.util.regex Caret refuses i == to — even on empty input)
+    assert re.search(J("(?m)^b$"), "a\rb\rc")
+    assert re.search(J("(?m)a$"), "xa y")
+    assert not re.search(J("(?m)^$"), "a\n")   # ^ can't sit at end of input
+    assert not re.search(J("(?m)^"), "")       # Java (?m)^ fails on ""
+    assert not re.search(J("(?m)a$x"), "a\r\nx")  # no $ between \r and \n
+
+
+def test_scoped_multiline_group_passes_through():
+    # (?m:...) scoped groups are the documented pass-through tier:
+    # ^/$ keep Python semantics there, but \Z/\z are still rewritten
+    assert J("(?m:^a$)") == "(?m:^a$)"
+    assert "(?=" in J(r"(?m:^a)\Z")
 
 
 def test_quantified_dollar_free_pattern_untouched():
@@ -79,10 +97,10 @@ def test_quantified_dollar_free_pattern_untouched():
 
 
 def test_combined_inline_flags_detected():
-    # (?im)/(?is): the old substring check ("(?m" / "(?s") missed the
-    # combined forms and broke the flags by rewriting $ / .
-    assert J("(?im)^b$") == "(?im)^b$"
+    # (?im)/(?is): flag-group parsing must see combined forms; (?im)
+    # keeps the case flag while the m is stripped and spelled out
     assert J("(?is)a.b") == "(?is)a.b"
+    assert J("(?im)^b$").startswith("(?i)")
     assert re.search(J("(?im)^b$"), "a\nB\nc")
     assert re.search(J("(?is)a.b"), "a\rb")
 
