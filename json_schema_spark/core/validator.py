@@ -493,10 +493,18 @@ class _Compiler:
 
     def _compile_regex(self, pattern: str) -> "re.Pattern":
         try:
-            # align Python $ / \Z / \z with java.util.regex anchoring
-            # (the reference's dialect — formats.java_dialect_rewrite)
-            return re.compile(formats_mod.java_dialect_rewrite(pattern))
-        except re.error as e:
+            # the Java regex dialect bridge (the reference's dialect —
+            # functions.java_regex): JVM-exact \p tables, anchoring,
+            # and class parsing
+            return formats_mod.compile_java_pattern(pattern)
+        except formats_mod.JavaOnlyRegex as e:
+            raise SchemaCompileError(
+                f"pattern {pattern!r} uses a Java-only regex construct "
+                f"the Python kernel cannot evaluate ({e}); keep the "
+                f"schema on the expression path (Spark rlike runs the "
+                f"Java engine natively) or configure a custom regex "
+                f"dialect") from e
+        except formats_mod.JavaRegexError as e:
             raise SchemaCompileError(f"bad regex {pattern!r}: {e}") from e
 
     def _regex_pred(self, pattern: str) -> Callable[[str], bool]:

@@ -170,166 +170,17 @@ def is_relative_json_pointer(s: str) -> bool:
     return re.fullmatch(REL_JSON_POINTER_RE, s) is not None
 
 
-# Java's default (non-MULTILINE) `$` and `\Z` match before ONE final
-# line terminator from {\n, \r\n, \r, \x85, \u2028, \u2029}; Python's
-# `$` tolerates only \n and `\Z` is absolute. Since the reference
-# compiles schema regexes with java.util.regex (RegexFactory.java:20),
-# the kernel rewrites unescaped, outside-class `$`/`\Z` to the Java
-# lookahead (and Java's absolute `\z` to Python's `\Z`) so both engines
-# and the reference agree on terminator-tailed strings. One subtlety
-# from java.util.regex's Dollar node: there is NO match between the \r
-# and \n of a final \r\n — hence the (?<!\r) guard on the lone-\n arm.
-_JAVA_EOL = r"(?=(?:\r\n?|(?<!\r)\n|[\x85\u2028\u2029])?\Z)"
-
-# Java MULTILINE `$`: before EVERY line terminator (with \r\n one unit —
-# no match between the \r and the \n) and at absolute end; `^`: at
-# start and after every terminator (again not between \r and \n) but
-# NEVER at end of input: java.util.regex's Caret node refuses i == to
-# ("Perl does not match ^ at end of input even after newline"), which
-# also makes (?m)^ fail to find() on the empty string. Python's
-# multiline anchors honor only \n, so the Java semantics are spelled
-# out as zero-width alternations (fixed-width lookbehinds as Python
-# requires) plus the end-of-input guard.
-_JAVA_ML_DOLLAR = r"(?:(?=[\r\x85\u2028\u2029])|(?<!\r)(?=\n)|\Z)"
-_JAVA_ML_CARET = r"(?:^|(?<=[\n\x85\u2028\u2029])|(?<=\r)(?!\n))(?!\Z)"
-
-_JAVA_DOT = r"[^\n\r\x85\u2028\u2029]"
-
-
-# inline flag groups: (?im) (?s:...) (?i-m:...) — letters before a '-'
-# are ENABLED flags; letters after it are disabled and must not count
-_INLINE_FLAGS = re.compile(r"\(\?([a-zA-Z]*)(?:-[a-zA-Z]+)?[):]")
-# a whole-pattern flag group at position 0, e.g. "(?im)rest"
-_HEAD_FLAGS = re.compile(r"^\(\?([a-zA-Z]+)\)")
-
-
-def java_dialect_rewrite(pattern: str) -> str:
-    enabled: set[str] = set()
-    for m in _INLINE_FLAGS.finditer(pattern):
-        enabled.update(m.group(1))
-    do_dot = "s" not in enabled  # DOTALL: `.` matches all in BOTH dialects
-    # MULTILINE handling has two tiers. If `m` is enabled by ONE head
-    # flag group governing the whole pattern, strip it and spell the
-    # Java multiline anchors out (multiline = True). If `m` appears in
-    # any other form (scoped group, mid-pattern, after a '-'), leave
-    # ^/$ untouched — Python multiline semantics, a documented
-    # approximation. `\Z`/`\z` are rewritten in EVERY tier: Java's \Z
-    # and \z ignore MULTILINE entirely.
-    multiline = False
-    do_dollar = "m" not in enabled
-    head = _HEAD_FLAGS.match(pattern)
-    if not do_dollar and head and "m" in head.group(1):
-        rest = pattern[head.end():]
-        others: set[str] = set()
-        for m in _INLINE_FLAGS.finditer(rest):
-            others.update(m.group(1))
-        if "m" not in others:
-            multiline = True
-            kept = head.group(1).replace("m", "")
-            pattern = (f"(?{kept})" if kept else "") + rest
-    out = []
-    i, n = 0, len(pattern)
-    in_class = False
-    class_start = -1
-    while i < n:
-        c = pattern[i]
-        if c == "\\" and i + 1 < n:
-            nxt = pattern[i + 1]
-            if not in_class and nxt == "Z":
-                out.append(_JAVA_EOL)
-            elif not in_class and nxt == "z":
-                out.append(r"\Z")
-            else:
-                out.append(pattern[i:i + 2])
-            i += 2
-            continue
-        if not in_class:
-            if c == "[":
-                in_class = True
-                class_start = i
-            elif c == "$" and multiline:
-                out.append(_JAVA_ML_DOLLAR)
-                i += 1
-                continue
-            elif c == "$" and do_dollar:
-                out.append(_JAVA_EOL)
-                i += 1
-                continue
-            elif c == "^" and multiline:
-                out.append(_JAVA_ML_CARET)
-                i += 1
-                continue
-            elif c == "." and do_dot:
-                # Java default `.` excludes ALL line terminators
-                # (\n \r \x85 \u2028 \u2029); Python's only \n
-                out.append(_JAVA_DOT)
-                i += 1
-                continue
-        elif c == "]":
-            # a ']' immediately after '[' or '[^' is a literal member
-            lead = i - class_start
-            if not (lead == 1 or (lead == 2 and pattern[class_start + 1] == "^")):
-                in_class = False
-        out.append(c)
-        i += 1
-    return "".join(out)
-
-
-# format:"regex" asks "does this compile in the regex dialect in use";
-# the reference's default dialect is java.util.regex
-# (FormatCompiler.java:69 -> validateRegex -> RegexFactory.java:20), so
-# the default predicate approximates Java acceptance: Python-only
-# syntax Java rejects is refused, and common Java-only atoms are
-# rewritten into Python-compilable placeholders before the compile
-# check. A custom regex_factory (CompileConfig) replaces this wholesale.
-_PY_ONLY_REGEX = re.compile(r"\((?:\?P[<=>]|\?\(|\?#)")  # (?P<  (?P=  (?P>  (?(  (?#comment
-_JAVA_REWRITES = [
-    (re.compile(r"\\[pP]\{[^{}]*\}"), "a"),           # \p{Alpha}, \P{Sc=Grek}
-    (re.compile(r"\(\?<([A-Za-z][A-Za-z0-9]*)>"), r"(?P<\1>"),  # named group
-    (re.compile(r"\\k<([A-Za-z][A-Za-z0-9]*)>"), r"(?P=\1)"),   # back-ref
-    (re.compile(r"\\[eEQRGzhHvV]"), "x"),             # Java-only escapes
-]
-
-
-def _java_class_escapes_ok(t: str) -> bool:
-    """Java rejects the boundary/linebreak escapes \\R \\G \\z INSIDE a
-    character class (the \\[eEQRGzhHvV] placeholder rewrite below would
-    otherwise make ``[\\R]`` compile even though Pattern.compile
-    throws). Escaped backslashes must already be hidden in ``t``."""
-    i, n, in_class, cs = 0, len(t), False, -1
-    while i < n:
-        c = t[i]
-        if c == "\\" and i + 1 < n:
-            if in_class and t[i + 1] in "RGz":
-                return False
-            i += 2
-            continue
-        if not in_class:
-            if c == "[":
-                in_class, cs = True, i
-        elif c == "]":
-            lead = i - cs
-            if not (lead == 1 or (lead == 2 and t[cs + 1] == "^")):
-                in_class = False
-        i += 1
-    return True
-
-
-def is_regex(s: str) -> bool:
-    # hide escaped backslashes so "\\z" (literal backslash + z) is not
-    # mistaken for the Java \z anchor, then restore before compiling
-    t = s.replace("\\\\", "\x00")
-    if _PY_ONLY_REGEX.search(t):
-        return False
-    if not _java_class_escapes_ok(t):
-        return False
-    for pat, repl in _JAVA_REWRITES:
-        t = pat.sub(repl, t)
-    try:
-        re.compile(t.replace("\x00", "\\\\"))
-        return True
-    except re.error:
-        return False
+# The Java regex dialect bridge lives in java_regex.py: schema regexes
+# are java.util.regex (RegexFactory.java:20) and the kernel translates
+# them into Python `re` with JVM-dumped Unicode tables. Re-exported
+# here because this module is the kernel's format/regex surface.
+from .java_regex import (  # noqa: F401  (re-exports)
+    JavaOnlyRegex,
+    JavaRegexError,
+    compile_java_pattern,
+    is_regex,
+    java_dialect_rewrite,
+)
 
 
 # ---------------------------------------------------------------- URI / IRI

@@ -37,7 +37,8 @@ from pyspark.sql import types as T
 
 from ..core.jsonvalue import to_decimal
 from ..core.registry import SchemaRegistry
-from ..functions.formats import FORMAT_REGEXES, java_dialect_rewrite
+from ..functions.formats import (FORMAT_REGEXES, JavaOnlyRegex,
+                                 JavaRegexError, compile_java_pattern)
 
 __all__ = ["Check", "ExprUnsupported", "VariantCompiler", "TypedRowCompiler", "DEC"]
 
@@ -143,16 +144,30 @@ class _BaseCompiler:
         return F.when(dec.isNotNull(), build(dec)).otherwise(build(dbl))
 
     def _regex(self, pattern: str) -> str:
+        """Validate ``pattern`` for the JVM ``rlike`` path and return it
+        RAW — Java reads it natively. Java-only constructs the Python
+        kernel can't express (class intersection, \\G, variable-width
+        lookbehind, ...) are fine HERE; patterns Java itself rejects
+        raise, sending the schema to the kernel, which rejects it with
+        the reference-parity compile error."""
         if self.custom_regex_dialect:
             raise ExprUnsupported("custom regex dialect needs the UDF kernel")
         try:
-            # validate the Java-anchoring rewrite (it maps Java-only
-            # \z to \Z, so e.g. "a\z" stays on the JVM rlike path);
-            # the RAW pattern is returned — Java reads it natively
-            re.compile(java_dialect_rewrite(pattern))
-        except re.error as e:
+            compile_java_pattern(pattern)
+        except JavaOnlyRegex:
+            pass  # valid Java; rlike evaluates it natively
+        except JavaRegexError as e:
             raise ExprUnsupported(f"regex not compilable: {pattern!r}: {e}") from e
         return pattern
+
+    def _pyrx(self, pattern: str) -> "re.Pattern":
+        """Python-compiled schema regex for compile-time static name
+        matching (patternProperties / propertyNames / unevaluated*);
+        Java-only constructs can't be matched statically."""
+        try:
+            return compile_java_pattern(self._regex(pattern))
+        except (JavaOnlyRegex, JavaRegexError) as e:
+            raise ExprUnsupported(f"static regex matching impossible: {e}") from e
 
     def _jrx(self, pattern: str) -> str:
         """Pattern for the JVM `rlike` side: validated, with Java's
@@ -937,7 +952,7 @@ class TypedRowCompiler(_BaseCompiler):
         pats = node.get("patternProperties") or {}
         if pats:
             for rx, sub in pats.items():
-                crx = re.compile(java_dialect_rewrite(self._regex(rx)))  # Python re, Java anchoring
+                crx = self._pyrx(rx)  # Python re, Java dialect bridged
                 for n in field_names:
                     if crx.search(n):
                         checks.extend(self.compile(sub, self._field(val, n), path + (n,)))
@@ -952,7 +967,7 @@ class TypedRowCompiler(_BaseCompiler):
 
         if "additionalProperties" in node:
             known = set((node.get("properties") or {}).keys())
-            crxs = [re.compile(java_dialect_rewrite(self._regex(r))) for r in pats]
+            crxs = [self._pyrx(r) for r in pats]
             extra = [n for n in field_names
                      if n not in known and not any(r.search(n) for r in crxs)]
             sub = node["additionalProperties"]
@@ -1113,7 +1128,7 @@ class TypedRowCompiler(_BaseCompiler):
             return self._map_unevaluated_props(sub, names, pats, val, path)
         else:
             return []  # non-object: keyword no-ops
-        rxs = [re.compile(java_dialect_rewrite(self._regex(r))) for r in pats]
+        rxs = [self._pyrx(r) for r in pats]
         leftovers = [n for n in field_names
                      if n not in names and not any(r.search(n) for r in rxs)]
         checks: list[Check] = []

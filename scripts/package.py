@@ -21,7 +21,7 @@ def main() -> None:
             if "__pycache__" in dirpath:
                 continue
             for f in sorted(files):
-                if f.endswith((".py", ".json")):
+                if f.endswith((".py", ".json", ".tsv.gz")):
                     full = os.path.join(dirpath, f)
                     z.write(full, os.path.relpath(full, ROOT))
     print(OUT)

@@ -85,22 +85,28 @@ def test_head_multiline_flag_spelled_out():
     assert not re.search(J("(?m)a$x"), "a\r\nx")  # no $ between \r and \n
 
 
-def test_scoped_multiline_group_passes_through():
-    # (?m:...) scoped groups are the documented pass-through tier:
-    # ^/$ keep Python semantics there, but \Z/\z are still rewritten
-    assert J("(?m:^a$)") == "(?m:^a$)"
+def test_scoped_multiline_group_translated():
+    # (?m:...) scoped groups get the Java multiline anchors only inside
+    # the scope; outside, $ stays Java-EOL-anchored
+    assert re.search(J("(?m:^b$)"), "a\rb\rc")
+    assert not re.search(J("(?m:^b$)"), "a\rbx")
+    assert re.search(J("(?m:a$)|c$"), "xa\u2028y")
+    assert not re.search(J("x(?m:a)$"), "xa\n\n")   # outer $: one terminator
     assert "(?=" in J(r"(?m:^a)\Z")
 
 
-def test_quantified_dollar_free_pattern_untouched():
-    assert J("abc[0-9]+") == "abc[0-9]+"
+def test_anchor_free_pattern_verdicts_unchanged():
+    # classes are re-emitted normalized now, so pin verdicts, not text
+    rx = re.compile(J("abc[0-9]+"))
+    assert rx.search("abc42")
+    assert not rx.search("abcx")
 
 
 def test_combined_inline_flags_detected():
-    # (?im)/(?is): flag-group parsing must see combined forms; (?im)
-    # keeps the case flag while the m is stripped and spelled out
-    assert J("(?is)a.b") == "(?is)a.b"
+    # (?im)/(?is): flag-group parsing must see combined forms; m and s
+    # are consumed by the translation, i is re-emitted for Python
     assert J("(?im)^b$").startswith("(?i)")
+    assert J("(?is)a.b").startswith("(?i)")
     assert re.search(J("(?im)^b$"), "a\nB\nc")
     assert re.search(J("(?is)a.b"), "a\rb")
 
