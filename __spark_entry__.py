@@ -34,6 +34,7 @@ from json_schema_spark.operators import dedup as D
 from json_schema_spark.operators import drift as R
 from json_schema_spark.operators import ledger as L
 from json_schema_spark.operators import similarity as S
+from json_schema_spark.operators import components as CC
 from json_schema_spark.operators import text as T
 
 # --------------------------------------------------------------- schemas
@@ -286,6 +287,36 @@ def _q_minhash_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_fn="sha_universal",
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: the oracle-able sha-universal MinHash
+    pairs closed under transitivity by the alternating large-star /
+    small-star rounds (``operators/components.py``) — (id, component)
+    with component = min id of the connected component. The DuckDB
+    oracle computes the same closure with a recursive CTE, so the
+    distributed O(log n)-round algorithm is gated against an exact
+    transitive closure."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit("")))
+    pairs = D.minhash_lsh_pairs(
+        docs, shingle_n=5, num_hashes=64, bands=16, threshold=0.7,
+        hash_fn="sha_universal",
+    )
+    return CC.connected_components(pairs)
+
+
+def _q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup dedup: keep ONE document per cluster (the
+    min id) plus all unclustered documents — what a training-data
+    pipeline actually ships, vs the pairs diagnostics."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit("")))
+    pairs = D.minhash_lsh_pairs(
+        docs, shingle_n=5, num_hashes=64, bands=16, threshold=0.7,
+        hash_fn="sha_universal",
+    )
+    return CC.dedup_keep_canonical(docs, pairs).select("doc_id")
 
 
 def _q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -603,6 +634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_prefix_documents": _q_ngram_jaccard_prefix,
         "minhash_neardup_documents": _q_minhash_neardup,
         "minhash_neardup_sha_documents": _q_minhash_sha,
+        "neardup_clusters_documents": _q_neardup_clusters,
+        "dedup_keep_canonical_documents": _q_dedup_keep_canonical,
         "minhash_oph_documents": _q_minhash_oph,
         "simhash_documents": _q_simhash,
         "embedding_neardup_pairs": _q_embedding_neardup,
@@ -692,6 +725,36 @@ def _minhash_sha_oracle_sql(norm: str) -> str:
         JOIN cnt ca ON ca.id = i.id_a
         JOIN cnt cb ON cb.id = i.id_b
         WHERE x::DOUBLE / (ca.c + cb.c - x) >= 0.7
+    """
+
+
+def _components_oracle_sql(norm: str) -> str:
+    """Exact transitive closure (recursive CTE) over the sha-universal
+    MinHash pair oracle: the ground truth the distributed large-star /
+    small-star rounds must reproduce."""
+    pairs = _minhash_sha_oracle_sql(norm)
+    return f"""
+        WITH RECURSIVE
+        pairs AS (SELECT id_a, id_b FROM ({pairs}) q),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+            SELECT s AS id, d AS r FROM edges
+            UNION
+            SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r
+        )
+        SELECT id, least(id, min(r)) AS component
+        FROM reach GROUP BY id
+    """
+
+
+def _keep_canonical_oracle_sql(norm: str) -> str:
+    comp = _components_oracle_sql(norm)
+    return f"""
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (
+            SELECT id FROM ({comp}) c WHERE id <> component
+        )
     """
 
 
@@ -1170,6 +1233,8 @@ def oracle_sql() -> dict[str, str]:
         "language_id_documents": _lang_id_oracle_sql(norm),
         "minhash_oph_documents": _minhash_oph_oracle_sql(norm),
         "minhash_neardup_sha_documents": _minhash_sha_oracle_sql(norm),
+        "neardup_clusters_documents": _components_oracle_sql(norm),
+        "dedup_keep_canonical_documents": _keep_canonical_oracle_sql(norm),
         "simhash_documents": _simhash_oracle_sql(norm),
         "embedding_neardup_pairs": _embedding_neardup_oracle_sql(),
         "ivf_topk_embeddings": _ivf_topk_oracle_sql(),
