@@ -35,6 +35,7 @@ from json_schema_spark.operators import drift as R
 from json_schema_spark.operators import ledger as L
 from json_schema_spark.operators import similarity as S
 from json_schema_spark.operators import components as CC
+from json_schema_spark.operators import pii as P
 from json_schema_spark.operators import text as T
 
 # --------------------------------------------------------------- schemas
@@ -287,6 +288,44 @@ def _q_minhash_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_fn="sha_universal",
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _pii_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic documents carry no PII, so the query weaves
+    deterministic doc_id-derived PII tokens into the text — identically
+    reconstructible in the DuckDB oracle — before scrubbing. concat_ws
+    skips the NULL branches, so coverage varies per doc."""
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    return docs.withColumn("text", F.concat_ws(
+        " ",
+        F.coalesce(F.col("text"), F.lit("")),
+        F.concat(F.lit("user"), d.cast("string"), F.lit("@example.com")),
+        F.when(d % 3 == 0, F.concat(
+            F.lit("+1 555 "), F.lpad((d % 10000).cast("string"), 7, "0"))),
+        F.when(d % 5 == 0, F.concat(
+            F.lit("4111 1111 1111 "), F.lpad((d % 10000).cast("string"), 4, "0"))),
+        F.when(d % 7 == 0, F.concat_ws(
+            ".", (d % 256).cast("string"), ((d * 7) % 256).cast("string"),
+            ((d * 13) % 256).cast("string"), ((d * 29) % 256).cast("string"))),
+        F.when(d % 11 == 0, F.concat(
+            F.lit("078-05-"), F.lpad((d % 10000).cast("string"), 4, "0"))),
+    ))
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (operators/pii.py): per-kind JVM regexp
+    counts and the sha256 of the fully redacted text, both oracle-gated
+    — the hash pins every byte of every replacement, so the Java and
+    RE2 regex engines must agree on every match boundary."""
+    enriched = _pii_enriched(spark, sf_dir)
+    out = P.detect_pii(enriched)
+    out = P.redact_pii(out)
+    cols = [F.col(f"pii_{k}").cast("long").alias(f"pii_{k}")
+            for k in P.PII_PATTERNS]
+    return out.select(
+        "doc_id", *cols, F.col("pii_total"),
+        F.sha2(F.col("redacted"), 256).alias("redacted_sha"))
 
 
 def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup_sha_documents": _q_minhash_sha,
         "neardup_clusters_documents": _q_neardup_clusters,
         "dedup_keep_canonical_documents": _q_dedup_keep_canonical,
+        "pii_scrub_documents": _q_pii_scrub,
         "minhash_oph_documents": _q_minhash_oph,
         "simhash_documents": _q_simhash,
         "embedding_neardup_pairs": _q_embedding_neardup,
@@ -755,6 +795,55 @@ def _keep_canonical_oracle_sql(norm: str) -> str:
         WHERE doc_id NOT IN (
             SELECT id FROM ({comp}) c WHERE id <> component
         )
+    """
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB (RE2) replica of the PII scrub: same enrichment text,
+    same patterns (written in the Java-RE2 common dialect), same
+    ordered redaction chain; counts via regexp_extract_all lengths."""
+    from json_schema_spark.operators.pii import PII_PATTERNS
+
+    enrich = """
+        SELECT doc_id, concat_ws(' ',
+            coalesce(text, ''),
+            'user' || doc_id::VARCHAR || '@example.com',
+            CASE WHEN doc_id % 3 = 0 THEN
+                '+1 555 ' || lpad((doc_id % 10000)::VARCHAR, 7, '0') END,
+            CASE WHEN doc_id % 5 = 0 THEN
+                '4111 1111 1111 ' || lpad((doc_id % 10000)::VARCHAR, 4, '0') END,
+            CASE WHEN doc_id % 7 = 0 THEN
+                (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR
+                || '.' || ((doc_id * 13) % 256)::VARCHAR
+                || '.' || ((doc_id * 29) % 256)::VARCHAR END,
+            CASE WHEN doc_id % 11 = 0 THEN
+                '078-05-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') END
+        ) AS t FROM documents
+    """
+    stages = ["SELECT doc_id, t AS t0 FROM ({}) e".format(enrich)]
+    counts = []
+    cur = "t0"
+    for i, (kind, pat) in enumerate(PII_PATTERNS.items()):
+        esc = pat.replace("'", "''")
+        counts.append(
+            f"len(regexp_extract_all({cur}, '{esc}'))::BIGINT AS pii_{kind}")
+        nxt = f"t{i + 1}"
+        stages.append(
+            f"SELECT *, regexp_replace({cur}, '{esc}', '[PII:{kind}]', 'g')"
+            f" AS {nxt} FROM s{i}")
+        cur = nxt
+    withs = ",\n        ".join(
+        f"s{i} AS ({q})" for i, q in enumerate(stages))
+    count_cols = ", ".join(counts)
+    total = " + ".join(f"pii_{k}" for k in PII_PATTERNS)
+    return f"""
+        WITH {withs},
+        counted AS (SELECT doc_id, {count_cols}, {cur} AS redacted
+                    FROM s{len(stages) - 1})
+        SELECT doc_id, * EXCLUDE (doc_id, redacted),
+               ({total})::BIGINT AS pii_total,
+               sha256(redacted) AS redacted_sha
+        FROM counted
     """
 
 
@@ -1235,6 +1324,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup_sha_documents": _minhash_sha_oracle_sql(norm),
         "neardup_clusters_documents": _components_oracle_sql(norm),
         "dedup_keep_canonical_documents": _keep_canonical_oracle_sql(norm),
+        "pii_scrub_documents": _pii_oracle_sql(),
         "simhash_documents": _simhash_oracle_sql(norm),
         "embedding_neardup_pairs": _embedding_neardup_oracle_sql(),
         "ivf_topk_embeddings": _ivf_topk_oracle_sql(),
