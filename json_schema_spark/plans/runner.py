@@ -21,7 +21,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..core.registry import SchemaRegistry
-from ..core.validator import CompileConfig, CompiledSchema, compile_schema
+from ..core.validator import (CompileConfig, CompiledSchema,
+                              SchemaCompileError, compile_schema)
 from .compiler import (
     Check,
     ExprUnsupported,
@@ -119,8 +120,24 @@ class SparkValidator:
         # the kernel additionally honors it per node)
         if isinstance(schema, dict) and self.registry.format_assertion_of(schema):
             self.config.format_assertions = True
-        # driver-side kernel (differential oracle + local validation)
-        self.kernel = compile_schema(schema, registry=self.registry, config=self.config)
+        # driver-side kernel (differential oracle + local validation).
+        # Schemas the reference REJECTS still fail here, eagerly; but a
+        # pattern using a Java-only regex construct (class
+        # intersection, \G, ...) is valid in the reference and on the
+        # rlike expression path, so that one failure is deferred to
+        # first kernel use instead of blocking construction.
+        self._kernel = None
+        self._kernel_error: Exception | None = None
+        try:
+            self._kernel = compile_schema(
+                schema, registry=self.registry, config=self.config)
+        except SchemaCompileError as e:
+            from ..functions.java_regex import JavaOnlyRegex
+
+            if isinstance(e.__cause__, JavaOnlyRegex):
+                self._kernel_error = e
+            else:
+                raise
         self._docs_json = json.dumps(
             {u: d for u, d in self.registry.docs.items()}, default=float
         )
@@ -147,6 +164,13 @@ class SparkValidator:
             )
         else:
             self._formats_key = ()
+
+
+    @property
+    def kernel(self):
+        if self._kernel is None:
+            raise self._kernel_error
+        return self._kernel
 
     # ------------------------------------------------------ JSON mode
 
@@ -183,6 +207,7 @@ class SparkValidator:
         return ok_of(checks), violations_array(checks)
 
     def _udf_result(self) -> "F.pandas_udf":
+        self.kernel  # fail fast driver-side (Java-only regex schemas)
         key = (self._schema_json, self._docs_json, self.dialect,
                self.config.format_assertions, self.config.content_mode, True,
                self._formats_key, self.config.treat_as_array)
