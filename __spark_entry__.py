@@ -35,6 +35,7 @@ from json_schema_spark.operators import drift as R
 from json_schema_spark.operators import ledger as L
 from json_schema_spark.operators import similarity as S
 from json_schema_spark.operators import components as CC
+from json_schema_spark.operators import chunking as CH
 from json_schema_spark.operators import pii as P
 from json_schema_spark.operators import text as T
 
@@ -311,6 +312,25 @@ def _pii_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(d % 11 == 0, F.concat(
             F.lit("078-05-"), F.lpad((d % 10000).cast("string"), 4, "0"))),
     ))
+
+
+def _q_chunk_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 200-char windows every 150 chars
+    (operators/chunking.py): explode(sequence) Generate node, zero
+    shuffle, zero Python; oracle replays with unnest(range(k))."""
+    out = CH.chunk_documents(_t(spark, sf_dir, "documents"),
+                             size=200, stride=150, by="chars")
+    return out.select("doc_id", "chunk_id", "chunk_start",
+                      F.sha2(F.col("chunk_text"), 256).alias("chunk_sha"))
+
+
+def _q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window variant: 32-token windows every 24 tokens over a
+    single-space split, rejoined — chunk_start is a token index."""
+    out = CH.chunk_documents(_t(spark, sf_dir, "documents"),
+                             size=32, stride=24, by="tokens")
+    return out.select("doc_id", "chunk_id", "chunk_start",
+                      F.sha2(F.col("chunk_text"), 256).alias("chunk_sha"))
 
 
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,6 +696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters_documents": _q_neardup_clusters,
         "dedup_keep_canonical_documents": _q_dedup_keep_canonical,
         "pii_scrub_documents": _q_pii_scrub,
+        "chunk_chars_documents": _q_chunk_chars,
+        "chunk_tokens_documents": _q_chunk_tokens,
         "minhash_oph_documents": _q_minhash_oph,
         "simhash_documents": _q_simhash,
         "embedding_neardup_pairs": _q_embedding_neardup,
@@ -844,6 +866,31 @@ def _pii_oracle_sql() -> str:
                ({total})::BIGINT AS pii_total,
                sha256(redacted) AS redacted_sha
         FROM counted
+    """
+
+
+def _chunk_oracle_sql(size: int, stride: int, by: str) -> str:
+    """DuckDB replica of operators/chunking.py: same window-count
+    formula, same offsets, code-point substring / single-space token
+    slices."""
+    if by == "chars":
+        units = "length(txt)"
+        chunk = f"substring(txt, i * {stride} + 1, {size})"
+    else:
+        units = "len(string_split(txt, ' '))"
+        chunk = (f"array_to_string(list_slice(string_split(txt, ' '), "
+                 f"i * {stride} + 1, i * {stride} + {size}), ' ')")
+    return f"""
+        WITH t AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents),
+        n AS (SELECT doc_id, txt,
+                     CASE WHEN {units} <= {size} THEN 1
+                          ELSE cast(ceil(({units} - {size})::DOUBLE / {stride}) AS BIGINT) + 1
+                     END AS k
+              FROM t),
+        c AS (SELECT doc_id, txt, unnest(range(k)) AS i FROM n)
+        SELECT doc_id, i AS chunk_id, i * {stride} AS chunk_start,
+               sha256({chunk}) AS chunk_sha
+        FROM c
     """
 
 
@@ -1325,6 +1372,8 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters_documents": _components_oracle_sql(norm),
         "dedup_keep_canonical_documents": _keep_canonical_oracle_sql(norm),
         "pii_scrub_documents": _pii_oracle_sql(),
+        "chunk_chars_documents": _chunk_oracle_sql(200, 150, "chars"),
+        "chunk_tokens_documents": _chunk_oracle_sql(32, 24, "tokens"),
         "simhash_documents": _simhash_oracle_sql(norm),
         "embedding_neardup_pairs": _embedding_neardup_oracle_sql(),
         "ivf_topk_embeddings": _ivf_topk_oracle_sql(),
