@@ -37,6 +37,7 @@ from json_schema_spark.operators import similarity as S
 from json_schema_spark.operators import components as CC
 from json_schema_spark.operators import chunking as CH
 from json_schema_spark.operators import pii as P
+from json_schema_spark.operators import sampling as SMP
 from json_schema_spark.operators import text as T
 
 # --------------------------------------------------------------- schemas
@@ -312,6 +313,21 @@ def _pii_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(d % 11 == 0, F.concat(
             F.lit("078-05-"), F.lpad((d % 10000).cast("string"), 4, "0"))),
     ))
+
+
+def _q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus assembly (operators/sampling.py): rebalance
+    languages with per-stratum sha256-hash sampling (keep all en, half
+    of de/fr, a fifth of zh), then assign stable 80/10/10
+    train/valid/test splits — every row's fate a pure function of
+    (doc_id, seed), replayed exactly by the DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = SMP.stratified_sample(
+        docs, "lang",
+        {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.2},
+        default_fraction=0.0, seed=7)
+    out = SMP.train_valid_test_split(kept, (0.8, 0.1, 0.1), seed=11)
+    return out.select("doc_id", "lang", "split")
 
 
 def _q_chunk_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters_documents": _q_neardup_clusters,
         "dedup_keep_canonical_documents": _q_dedup_keep_canonical,
         "pii_scrub_documents": _q_pii_scrub,
+        "sample_split_documents": _q_sample_split,
         "chunk_chars_documents": _q_chunk_chars,
         "chunk_tokens_documents": _q_chunk_tokens,
         "minhash_oph_documents": _q_minhash_oph,
@@ -866,6 +883,38 @@ def _pii_oracle_sql() -> str:
                ({total})::BIGINT AS pii_total,
                sha256(redacted) AS redacted_sha
         FROM counted
+    """
+
+
+def _sample_split_oracle_sql() -> str:
+    """DuckDB replica of the sampling query: same sha256-derived unit
+    position (first 8 hex digits / 16^8), same stratum thresholds and
+    split boundaries."""
+    horner = "CAST(0 AS BIGINT)"
+    for d in range(8):
+        horner = (f"(({horner}) * 16 + "
+                  f"(strpos('0123456789abcdef', substring(h8, {d + 1}, 1)) - 1))")
+    return f"""
+        WITH p AS (
+            SELECT doc_id, lang,
+                   substring(sha256(doc_id::VARCHAR || ':7'), 1, 8) AS h8,
+                   substring(sha256(doc_id::VARCHAR || ':11'), 1, 8) AS s8
+            FROM documents),
+        pos AS (
+            SELECT doc_id, lang,
+                   ({horner})::DOUBLE / 4294967296.0 AS keep_pos,
+                   ({horner.replace('h8', 's8')})::DOUBLE / 4294967296.0 AS split_pos
+            FROM p),
+        kept AS (
+            SELECT * FROM pos
+            WHERE keep_pos < CASE lang
+                WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
+                WHEN 'es' THEN 0.5 WHEN 'zh' THEN 0.2 ELSE 0.0 END)
+        SELECT doc_id, lang,
+               CASE WHEN split_pos < 0.8 THEN 'train'
+                    WHEN split_pos < 0.9 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM kept
     """
 
 
@@ -1372,6 +1421,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters_documents": _components_oracle_sql(norm),
         "dedup_keep_canonical_documents": _keep_canonical_oracle_sql(norm),
         "pii_scrub_documents": _pii_oracle_sql(),
+        "sample_split_documents": _sample_split_oracle_sql(),
         "chunk_chars_documents": _chunk_oracle_sql(200, 150, "chars"),
         "chunk_tokens_documents": _chunk_oracle_sql(32, 24, "tokens"),
         "simhash_documents": _simhash_oracle_sql(norm),
