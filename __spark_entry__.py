@@ -315,6 +315,29 @@ def _pii_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+def _q_prepare_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-assembly pipeline, composed from the
+    individually-gated operators: exact dedup (keep min id per
+    normalized-content sha) -> quality scoring -> language ID ->
+    keep prose-quality docs in target languages with sane token counts
+    -> PII redaction -> stable train/valid/test split. One DuckDB
+    oracle replays the WHOLE composition, so operator interactions
+    (filter order, column flow, float op order in the score) are gated,
+    not just the pieces."""
+    docs = _t(spark, sf_dir, "documents")
+    deduped = D.dedup_keep_first(docs)
+    scored = T.lang_id(T.quality_score(deduped))
+    kept = scored.where(
+        (F.col("quality_score") >= 0.5)
+        & F.col("lang_pred").isin("en", "de", "es", "fr")
+        & (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 5000))
+    red = P.redact_pii(kept)
+    out = SMP.train_valid_test_split(red, (0.9, 0.05, 0.05), seed=13)
+    return out.select(
+        "doc_id", "lang_pred", "split", "quality_score",
+        F.sha2(F.col("redacted"), 256).alias("redacted_sha"))
+
+
 def _q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus assembly (operators/sampling.py): rebalance
     languages with per-stratum sha256-hash sampling (keep all en, half
@@ -713,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_canonical_documents": _q_dedup_keep_canonical,
         "pii_scrub_documents": _q_pii_scrub,
         "sample_split_documents": _q_sample_split,
+        "prepare_training_data": _q_prepare_training_data,
         "chunk_chars_documents": _q_chunk_chars,
         "chunk_tokens_documents": _q_chunk_tokens,
         "minhash_oph_documents": _q_minhash_oph,
@@ -883,6 +907,83 @@ def _pii_oracle_sql() -> str:
                ({total})::BIGINT AS pii_total,
                sha256(redacted) AS redacted_sha
         FROM counted
+    """
+
+
+def _prepare_training_oracle_sql(norm: str) -> str:
+    """DuckDB replica of the full corpus-assembly composition. Float op
+    order matches the Spark expressions term by term (int/int division
+    is double in both engines; score terms left-associated)."""
+    from json_schema_spark.operators.pii import PII_PATTERNS
+    from json_schema_spark.operators.text import STOPWORDS
+
+    red = "coalesce(text, '')"
+    for kind, pat in PII_PATTERNS.items():
+        esc = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{esc}', '[PII:{kind}]', 'g')"
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    horner = "CAST(0 AS BIGINT)"
+    for d in range(8):
+        horner = (f"(({horner}) * 16 + "
+                  f"(strpos('0123456789abcdef', substring(s8, {d + 1}, 1)) - 1))")
+    lang = _lang_id_oracle_sql(norm)
+    return f"""
+        WITH keepers AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256({norm})
+        ),
+        d AS (
+            SELECT doc_id, text, {norm} AS nt FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM keepers)
+        ),
+        feat AS (
+            SELECT doc_id, text,
+                   length(text) AS n_chars,
+                   CASE WHEN length(nt) = 0 THEN 0
+                        ELSE len(string_split(nt, ' ')) END AS toks,
+                   len(list_filter(string_split(nt, ' '),
+                                   w -> w IN ({sw}))) AS sw_hits,
+                   length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS punct,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+            FROM d
+        ),
+        ratios AS (
+            SELECT *,
+                   CASE WHEN toks > 0 THEN n_chars / toks ELSE 0.0 END AS mwl,
+                   CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS pr,
+                   CASE WHEN n_chars > 0 THEN digits / n_chars ELSE 0.0 END AS dr,
+                   CASE WHEN toks > 0 THEN sw_hits / toks ELSE 0.0 END AS swr
+            FROM feat
+        ),
+        scored AS (
+            SELECT doc_id, text, toks,
+                   round((least(n_chars / 200.0, 1.0)
+                          * (CASE WHEN n_chars > 20000 THEN 0.5 ELSE 1.0 END)) * 0.3
+                         + (CASE WHEN mwl >= 3 AND mwl <= 12
+                                 THEN 1.0 ELSE 0.4 END) * 0.2
+                         + greatest(0.0, 1.0 - 2.0 * pr - dr) * 0.3
+                         + least(1.0, 0.3 + 2.0 * swr) * 0.2, 6) AS quality_score
+            FROM ratios
+        ),
+        lang AS ({lang}),
+        kept AS (
+            SELECT s.doc_id, s.text, l.lang_pred, s.quality_score
+            FROM scored s JOIN lang l ON l.doc_id = s.doc_id
+            WHERE s.quality_score >= 0.5
+              AND l.lang_pred IN ('en', 'de', 'es', 'fr')
+              AND s.toks BETWEEN 5 AND 5000
+        ),
+        split AS (
+            SELECT doc_id, lang_pred, quality_score, {red} AS redacted,
+                   substring(sha256(doc_id::VARCHAR || ':13'), 1, 8) AS s8
+            FROM kept
+        )
+        SELECT doc_id, lang_pred,
+               CASE WHEN ({horner})::DOUBLE / 4294967296.0 < 0.9 THEN 'train'
+                    WHEN ({horner})::DOUBLE / 4294967296.0 < 0.95 THEN 'valid'
+                    ELSE 'test' END AS split,
+               quality_score,
+               sha256(redacted) AS redacted_sha
+        FROM split
     """
 
 
@@ -1422,6 +1523,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_canonical_documents": _keep_canonical_oracle_sql(norm),
         "pii_scrub_documents": _pii_oracle_sql(),
         "sample_split_documents": _sample_split_oracle_sql(),
+        "prepare_training_data": _prepare_training_oracle_sql(norm),
         "chunk_chars_documents": _chunk_oracle_sql(200, 150, "chars"),
         "chunk_tokens_documents": _chunk_oracle_sql(32, 24, "tokens"),
         "simhash_documents": _simhash_oracle_sql(norm),
