@@ -30,6 +30,8 @@ __all__ = [
     "to_decimal",
     "json_equal",
     "canon_key",
+    "strict_key",
+    "const_equal",
     "canonical_json",
 ]
 
@@ -139,6 +141,53 @@ def canon_key(v: Any) -> Any:
     if isinstance(v, dict):
         return ("o", frozenset((k, canon_key(x)) for k, x in v.items()))
     raise TypeError(f"not a JSON value: {type(v)!r}")
+
+
+def strict_key(v: Any) -> Any:
+    """Hashable key under the reference's STRICT Jackson equality —
+    ``uniqueItems`` uses a plain ``HashSet<JsonNode>``
+    (``UniqueItemsCompiler.java:42-46``), where ``IntNode(1)`` and
+    ``DoubleNode(1.0)`` are NOT equal: a number's family (integer
+    lexeme vs decimal/exponent lexeme) is part of its identity, at
+    every nesting depth. Verified against the compiled reference by
+    ``tests/test_reference_differential.py`` — note this diverges from
+    the json-schema SPEC (and the ``jsonschema`` library), which make
+    1 and 1.0 duplicates."""
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, float):
+        return ("f", v)
+    if isinstance(v, Decimal):
+        # Decimal only enters via user-constructed instances; Jackson
+        # would model it as a DecimalNode — keep it its own family
+        return ("D", v)
+    if isinstance(v, str):
+        return ("s", v)
+    if v is None:
+        return ("z",)
+    if isinstance(v, (list, tuple)):
+        return ("a", tuple(strict_key(x) for x in v))
+    if isinstance(v, dict):
+        return ("o", frozenset((k, strict_key(x)) for k, x in v.items()))
+    raise TypeError(f"not a JSON value: {type(v)!r}")
+
+
+def const_equal(inst: Any, value: Any) -> bool:
+    """The reference's ``const`` equality (``Utils.checkEquality``,
+    ``compilers/Utils.java:14-25``): strict Jackson deep equality,
+    with ONE extra tolerance — when both sides are top-level numbers
+    they compare as BigDecimals (so ``const: 1`` accepts ``1.0``), but
+    numbers NESTED inside objects/arrays stay family-strict
+    (``const: {"a": 1}`` rejects ``{"a": 1.0}``). Verified against the
+    compiled reference by ``tests/test_reference_differential.py``."""
+    if strict_key(inst) == strict_key(value):
+        return True
+    if (is_number(inst) and is_number(value)
+            and not isinstance(inst, bool) and not isinstance(value, bool)):
+        return to_decimal(inst) == to_decimal(value)
+    return False
 
 
 class _DecimalEncoder(json.JSONEncoder):

@@ -38,9 +38,11 @@ from ..functions import formats as formats_mod
 from ..functions.formats import FORMAT_VALIDATORS
 from .jsonvalue import (
     canon_key,
+    const_equal,
     is_integerish,
     is_number,
     json_equal,
+    strict_key,
     parse_json,
     to_decimal,
     type_matches,
@@ -443,8 +445,11 @@ class _Compiler:
         return kv
 
     def _kw_const(self, value: Any) -> Callable:
+        # reference semantics (Utils.checkEquality): strict Jackson
+        # equality + top-level-number BigDecimal tolerance; nested
+        # numbers stay family-strict (1 vs 1.0 differ inside objects)
         def kv(inst, path, scope, ann, errors):
-            if json_equal(inst, value):
+            if const_equal(inst, value):
                 return True
             self._err(errors, path, "const", "value differs from const")
             return False
@@ -925,7 +930,11 @@ class _Compiler:
                 return True
             seen = set()
             for i, v in enumerate(inst):
-                k = canon_key(v)
+                # reference semantics: HashSet<JsonNode> — STRICT
+                # Jackson equality, number family part of identity at
+                # every depth (UniqueItemsCompiler.java:42-46); [1, 1.0]
+                # is UNIQUE here even though enum treats them equal
+                k = strict_key(v)
                 if k in seen:
                     self._err(errors, path, "uniqueItems", f"duplicate item at index {i}")
                     return False

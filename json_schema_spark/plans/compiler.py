@@ -692,15 +692,42 @@ class VariantCompiler(_BaseCompiler):
             checks.append(Check(_nn(is_arr & (F.size(arr) > int(node["maxItems"]))), p,
                                 "maxItems", f"more than {node['maxItems']} items"))
         if node.get("uniqueItems") is True:
-            # canonicalize numbers through decimal so 1 == 1.0; other
-            # kinds via to_json (objects: key order preserved — the
-            # kernel is authoritative for exotic key-order duplicates)
-            canon = F.transform(
-                arr,
-                lambda x: F.when(
-                    self.v_is_number(x), F.try_variant_get(x, "$", DEC).cast("string")
-                ).otherwise(F.to_json(x)),
-            )
+            # reference semantics: HashSet<JsonNode> — STRICT Jackson
+            # equality where a number's FAMILY is part of its identity
+            # (UniqueItemsCompiler.java:42-46; [1, 1.0] is unique).
+            # Jackson families: integer lexeme -> Int/Long/BigInteger
+            # (exact value identity); decimal/exponent lexeme ->
+            # DoubleNode ("1.0", "1.00", "1e0" are ONE double). The
+            # variant type alone can't tell: it normalizes "1.0" to
+            # DECIMAL(1,0), same shape as a BigInteger-range "1e38"-
+            # style integer — but a DECIMAL(p,0) whose value fits in a
+            # BIGINT can only have come from a decimal lexeme (an
+            # integer lexeme that size parses straight to BIGINT), so
+            # int-family = BIGINT, or DECIMAL(p,0) beyond long range.
+            # Composite elements: to_json of a variant normalizes key
+            # order (good — ObjectNode.equals is order-insensitive) but
+            # ALSO prints DECIMAL(1,0) 1.0 as "1", erasing the nested
+            # family, so the canonical form is the variant TYPE string
+            # (which keeps nested BIGINT vs DECIMAL vs DOUBLE apart)
+            # plus the json. Residual caveat: nested "1e0" (DOUBLE) vs
+            # "1.0" (DECIMAL) are one DoubleNode to Jackson but two
+            # type tags here — the kernel is authoritative for nested
+            # exponent-lexeme exotica.
+            def _canon_el(x):
+                vt = F.schema_of_variant(x)
+                big = F.try_variant_get(x, "$", "bigint")
+                int_fam = (vt == F.lit("BIGINT")) | (
+                    vt.rlike(r"^DECIMAL\(\d+,0\)$") & big.isNull())
+                num = F.when(int_fam, F.concat(
+                    F.lit("i:"),
+                    F.try_variant_get(x, "$", "decimal(38,0)").cast("string"),
+                )).otherwise(F.concat(
+                    F.lit("d:"),
+                    F.try_variant_get(x, "$", "double").cast("string")))
+                return F.when(self.v_is_number(x), num).otherwise(
+                    F.concat(vt, F.lit("|"), F.to_json(x)))
+
+            canon = F.transform(arr, _canon_el)
             checks.append(Check(_nn(is_arr & (F.size(F.array_distinct(canon)) != F.size(arr))),
                                 p, "uniqueItems", "duplicate items"))
         return checks

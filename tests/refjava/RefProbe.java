@@ -1,0 +1,74 @@
+import io.github.georgeakulov.json_schema.Schema;
+import io.github.georgeakulov.json_schema.SchemaBuilder;
+
+import java.io.BufferedReader;
+import java.io.InputStreamReader;
+import java.nio.charset.StandardCharsets;
+import java.util.Base64;
+import java.util.HashMap;
+
+/**
+ * Differential probe driving the ACTUAL reference implementation
+ * (compiled from /root/reference with a synchronous reactor stub).
+ *
+ * Protocol: one case per stdin line, TAB-separated fields:
+ *   base64(schema-json) TAB base64(instance-json) TAB dialect TAB fmt
+ * dialect in {draft7, 2019-09, 2020-12}; fmt = 1 forces format
+ * assertions. One verdict char per output line:
+ *   t/f  validation verdict
+ *   c    schema compile error
+ *   e    validation threw
+ */
+public class RefProbe {
+    public static void main(String[] args) throws Exception {
+        Base64.Decoder b64 = Base64.getDecoder();
+        BufferedReader in = new BufferedReader(
+            new InputStreamReader(System.in, StandardCharsets.UTF_8));
+        StringBuilder out = new StringBuilder();
+        HashMap<String, Schema> cache = new HashMap<>();
+        HashMap<String, String> failed = new HashMap<>();
+        String line;
+        while ((line = in.readLine()) != null) {
+            if (line.isEmpty()) continue;
+            String[] f = line.split("\t");
+            String schemaJson = new String(b64.decode(f[0]), StandardCharsets.UTF_8);
+            String instance = new String(b64.decode(f[1]), StandardCharsets.UTF_8);
+            String dialect = f.length > 2 ? f[2] : "2020-12";
+            boolean fmt = f.length > 3 && f[3].equals("1");
+            String key = dialect + "|" + fmt + "|" + schemaJson;
+            if (failed.containsKey(key)) {
+                out.append(failed.get(key)).append('\n');
+                continue;
+            }
+            Schema schema = cache.get(key);
+            if (schema == null) {
+                try {
+                    SchemaBuilder b = SchemaBuilder.create();
+                    switch (dialect) {
+                        case "draft7":
+                            b.setDefaultDialect("http://json-schema.org/draft-07/schema#");
+                            break;
+                        case "2019-09":
+                            b.setDefaultDialect("https://json-schema.org/draft/2019-09/schema");
+                            break;
+                        default:
+                            b.setDefaultDialect("https://json-schema.org/draft/2020-12/schema");
+                    }
+                    if (fmt) b.setFormatAssertionsEnabled(true);
+                    schema = b.compile(schemaJson);
+                    cache.put(key, schema);
+                } catch (Throwable t) {
+                    failed.put(key, "c");
+                    out.append("c\n");
+                    continue;
+                }
+            }
+            try {
+                out.append(schema.apply(instance).isOk() ? 't' : 'f').append('\n');
+            } catch (Throwable t) {
+                out.append("e\n");
+            }
+        }
+        System.out.print(out);
+    }
+}

@@ -95,6 +95,62 @@ def _corpus_cases():
                 yield f.name, dialect, group
 
 
+# Reference-verified divergences from the json-schema SPEC (and hence
+# from the library): the reference's uniqueItems is a HashSet<JsonNode>
+# and its const is Jackson-strict below the top level, so a number's
+# FAMILY (integer vs decimal lexeme) is part of its identity — the spec
+# says 1 == 1.0 everywhere. Pinned against the COMPILED reference by
+# tests/test_reference_differential.py; the engine follows the
+# reference (the brief), the library follows the spec.
+_REFERENCE_STRICT_EQUALITY = {
+    ("const object",
+     "nested numbers are family-strict (tolerance is top-level only)"),
+    ("const object deep equality", "nested numeric family mismatch rejected"),
+    ("uniqueItems deep equality semantics",
+     "1 and 1.0 are NOT duplicates (strict Jackson equality)"),
+    ("uniqueItems deep equality semantics",
+     "nested 1 vs 1.0 are NOT duplicates"),
+    ("uniqueItems", "1 and 1.0 differ by number family (Jackson strict equality)"),
+    ("uniqueItems", "nested family mismatch keeps objects distinct"),
+}
+
+
+def _family_divergence_possible(schema, doc) -> bool:
+    """True when strict-vs-spec numeric equality could explain a
+    kernel/library verdict difference: the schema involves uniqueItems
+    or const and two mathematically-equal numbers of different families
+    (int vs float) appear in play."""
+    def nums(v, out):
+        if isinstance(v, bool):
+            return
+        if isinstance(v, (int, float)):
+            out.append(v)
+        elif isinstance(v, list):
+            for x in v:
+                nums(x, out)
+        elif isinstance(v, dict):
+            for x in v.values():
+                nums(x, out)
+
+    def has_kw(s):
+        if isinstance(s, dict):
+            if "uniqueItems" in s or "const" in s:
+                return True
+            return any(has_kw(v) for v in s.values())
+        if isinstance(s, list):
+            return any(has_kw(v) for v in s)
+        return False
+
+    if not has_kw(schema):
+        return False
+    pool: list = []
+    nums(doc, pool)
+    nums(schema, pool)
+    ints = {x for x in pool if isinstance(x, int)}
+    floats = {x for x in pool if isinstance(x, float)}
+    return any(float(i) in floats for i in ints)
+
+
 @pytest.mark.parametrize(
     "fname,dialect,group",
     list(_corpus_cases()),
@@ -112,6 +168,8 @@ def test_library_agrees_on_corpus(fname, dialect, group):
     except Exception as e:  # pragma: no cover
         pytest.skip(f"library cannot compile: {e}")
     for case in group["tests"]:
+        if (group["description"], case["description"]) in _REFERENCE_STRICT_EQUALITY:
+            continue  # reference-verified spec divergence (see above)
         try:
             lib_ok = lib.is_valid(case["data"])
         except Exception as e:
@@ -146,6 +204,10 @@ def test_generated_differential(dialect, seed):
             inst = G.value(rng)
             lib_ok = lib.is_valid(inst)
             ker_ok = kernel.is_valid(inst)
+            if ker_ok != lib_ok and _family_divergence_possible(schema, inst):
+                # reference-verified Jackson-strict numeric equality in
+                # uniqueItems/const (see _REFERENCE_STRICT_EQUALITY)
+                continue
             assert ker_ok == lib_ok, (
                 f"dialect={dialect} seed={seed} schema#{i}\n"
                 f"schema={json.dumps(schema)}\ninstance={json.dumps(inst)}\n"

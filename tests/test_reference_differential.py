@@ -1,0 +1,270 @@
+"""Differential against the ACTUAL reference implementation.
+
+The round-1 blocker was that the official JSON-Schema-Test-Suite is
+unfetchable in this sandbox; the substitute was a differential against
+the independent ``jsonschema`` library. This goes one better: compile
+the reference itself (``/root/reference``, Java) and compare verdicts
+directly — the strongest parity evidence available offline.
+
+The reference needs two things this sandbox lacks, both replaced
+WITHOUT touching its semantics:
+
+* **reactor-core** (absent): ``tests/refjava/stub`` provides a
+  synchronous, list-backed implementation of exactly the reactor API
+  surface the reference uses (written from reactor's public API docs,
+  not from reactor sources). Verdicts are pure functions of the data,
+  so sequential evaluation returns what the reactive pipeline would.
+  The tiny ``org.reactivestreams`` / ``org.jspecify`` interfaces are
+  stubbed the same way.
+* **Java 21** (sandbox has 17): ``_PATCHES`` below rewrites the
+  Java-21-only API calls (SequencedCollection methods, virtual-thread
+  executor, AutoCloseable HttpClient) to Java-17 equivalents in a TEMP
+  COPY of the sources at build time. Each patch is a literal
+  one-liner; none changes behavior.
+
+Known environment artifact: a ``$ref`` to the draft-07 meta-schema
+needs network in the reference (its embedded resolver keys the $id
+WITH the trailing ``#`` while ref resolution strips fragments, so only
+http fetching saves it — 2019-09/2020-12 ids have no fragment and
+resolve offline). Cases tripping that are asserted to fail with a
+compile error rather than a wrong verdict.
+"""
+
+from __future__ import annotations
+
+import base64
+import glob
+import json
+import os
+import pathlib
+import random
+import shutil
+import subprocess
+
+import pytest
+
+from tests import differential_gen as gen
+
+HERE = pathlib.Path(__file__).parent
+REFERENCE = pathlib.Path("/root/reference")
+JAVA_HOME = os.environ.get("JAVA_HOME", "")
+JAVAC = shutil.which("javac") or os.path.join(JAVA_HOME, "bin", "javac")
+JAVA = shutil.which("java") or os.path.join(JAVA_HOME, "bin", "java")
+JACKSON = sorted(
+    glob.glob("/opt/spark/jars/jackson-core-[0-9]*.jar")
+    + glob.glob("/opt/spark/jars/jackson-databind-*.jar")
+    + glob.glob("/opt/spark/jars/jackson-annotations-*.jar"))
+
+pytestmark = pytest.mark.skipif(
+    not (REFERENCE.is_dir() and JAVAC and os.path.exists(JAVAC)
+         and len(JACKSON) == 3),
+    reason="reference sources, JDK or jackson jars unavailable",
+)
+
+_PKG = "io/github/georgeakulov/json_schema"
+# Java 21 -> 17 compatibility rewrites (behavior-preserving; see module
+# docstring). Every (old, new) pair must apply or the build fails.
+_PATCHES = [
+    (f"{_PKG}/compilers/CompileConfig.java",
+     "Executors.newVirtualThreadPerTaskExecutor()",
+     "java.util.concurrent.ForkJoinPool.commonPool()"),
+    (f"{_PKG}/dialects/Defaults.java",
+     "DIALECT_ORDERS.reversed()",
+     "refcompat.Compat.reversed(DIALECT_ORDERS)"),
+    (f"{_PKG}/loaders/SchemasRegistry.java",
+     "compileConfig.getResourceLoaders().reversed()",
+     "refcompat.Compat.reversed(compileConfig.getResourceLoaders())"),
+    (f"{_PKG}/loaders/BaseResourceLoader.java",
+     "loaders.addFirst(loader)", "loaders.add(0, loader)"),
+    (f"{_PKG}/common/content/CompositeContentValidationRegistry.java",
+     "this.registryList.addFirst(registry)",
+     "this.registryList.add(0, registry)"),
+    (f"{_PKG}/common/content/CompositeContentValidationRegistry.java",
+     "this.registryList.addLast(registry)",
+     "this.registryList.add(registry)"),
+    (f"{_PKG}/common/content/SimpleContentValidationRegistry.java",
+     "this.contentTypeValidators.addFirst(validator)",
+     "this.contentTypeValidators.add(0, validator)"),
+    (f"{_PKG}/common/RangeCollections.java",
+     "map.headMap(ceil.getKey(), true).reversed()",
+     "map.headMap(ceil.getKey(), true).descendingMap()"),
+    (f"{_PKG}/common/RangeCollections.java",
+     "of.getFirst().min", "of.get(0).min"),
+    (f"{_PKG}/common/RangeCollections.java",
+     "of.getFirst().max", "of.get(0).max"),
+    (f"{_PKG}/common/RangeCollections.java",
+     "of.addFirst(map.remove(floor))", "of.add(0, map.remove(floor))"),
+    (f"{_PKG}/common/email/InetAddressValidator.java",
+     "octetList.removeFirst()", "octetList.remove(0)"),
+    (f"{_PKG}/compilers/ContainsCompilerFactory.java",
+     # explicit type witness: Java 17's javac fails to infer T here
+     # (the reference builds with Java 21); semantics unchanged
+     "return Flux.defer(() -> validator.validate(",
+     "return Flux.<io.github.georgeakulov.json_schema.results"
+     ".IValidationResult>defer(() -> validator.validate("),
+    (f"{_PKG}/loaders/HttpLoader.java",
+     "try(HttpClient client = HttpClient.newBuilder()\n"
+     "                .followRedirects(HttpClient.Redirect.NORMAL)\n"
+     "                .build()) {",
+     "try {\n"
+     "            HttpClient client = HttpClient.newBuilder()\n"
+     "                .followRedirects(HttpClient.Redirect.NORMAL)\n"
+     "                .build();"),
+]
+
+SUITE = HERE / "suite"
+_DIALECTS = {"draft7": "draft7", "draft2019": "2019-09", "draft2020": "2020-12"}
+
+
+@pytest.fixture(scope="module")
+def ref(tmp_path_factory):
+    """Builds the reference + stub + probe; returns a batch runner."""
+    root = tmp_path_factory.mktemp("refbuild")
+    src = root / "src"
+    shutil.copytree(REFERENCE / "src" / "main" / "java", src)
+    for rel, old, new in _PATCHES:
+        f = src / rel
+        text = f.read_text(encoding="utf-8")
+        assert old in text, f"compat patch no longer applies: {rel}: {old!r}"
+        f.write_text(text.replace(old, new), encoding="utf-8")
+    classes = root / "classes"
+    classes.mkdir()
+    sources = [str(p) for p in src.rglob("*.java")]
+    sources += [str(p) for p in (HERE / "refjava").rglob("*.java")]
+    listing = root / "sources.txt"
+    listing.write_text("\n".join(sources))
+    cp = ":".join(JACKSON)
+    subprocess.run(
+        [JAVAC, "-encoding", "UTF-8", "-d", str(classes), "-cp", cp,
+         f"@{listing}"],
+        check=True, capture_output=True)
+    run_cp = f"{classes}:{REFERENCE / 'src' / 'main' / 'resources'}:{cp}"
+
+    def run(cases):
+        """cases: [(schema_json, instance_json, dialect, fmt_bool)] ->
+        verdict chars (t/f/c/e)."""
+        payload = "\n".join(
+            base64.b64encode(s.encode()).decode() + "\t"
+            + base64.b64encode(i.encode()).decode() + "\t"
+            + d + "\t" + ("1" if fmt else "0")
+            for s, i, d, fmt in cases)
+        r = subprocess.run(
+            [JAVA, "-cp", run_cp, "RefProbe"], input=payload + "\n",
+            capture_output=True, text=True, check=True)
+        out = r.stdout.split()
+        assert len(out) == len(cases), r.stderr[-2000:]
+        return out
+
+    return run
+
+
+def _corpus_cases():
+    for sub, dialect in _DIALECTS.items():
+        for f in sorted((SUITE / sub).glob("*.json")):
+            fmt = f.name.startswith("optional_format")
+            for g in json.loads(f.read_text()):
+                for t in g["tests"]:
+                    yield (f"{sub}/{f.stem}", g["description"],
+                           t["description"], json.dumps(g["schema"]),
+                           json.dumps(t["data"]), dialect, fmt,
+                           bool(t["valid"]))
+
+
+def _needs_network(schema_json: str) -> bool:
+    # draft-07 meta-schema refs resolve only via http in the reference
+    # (fragment-keyed embedded resolver entry); see module docstring
+    return "json-schema.org/draft-07/schema" in schema_json
+
+
+# Deliberate, verified divergences from the compiled reference — each a
+# DEFECT in the reference rather than a semantic choice, so the engine
+# does not replicate it (everything else in the corpus is
+# reference-verified, including the Jackson-strict equality family):
+_REFERENCE_DEFECT_DIVERGENCES = {
+    # ContentUtils.checkQuotedPrintable double-increments after '='
+    # (ContentUtils.java:146-149: `++i` in the bounds check and again
+    # in the read), so the char right after '=' is SKIPPED: canonical
+    # "=3D" throws "Not full HEX pair" while "=3DA" decodes to 0xDA,
+    # and a soft break only survives as "=\r\n" (the \r rides the
+    # skipped slot). The engine implements RFC 2045.
+    ("draft7/content", "contentEncoding quoted-printable parity",
+     "lowercase hex pair accepted"),
+    ("draft7/content", "contentEncoding quoted-printable parity",
+     "soft break =LF accepted"),
+    # URITemplateVariable.parse("") throws outside the
+    # URITemplateSyntaxException catch (URITemplateParser.java:5-13),
+    # so format "uri-template" on "{}" ESCAPES as a runtime exception
+    # ('e') instead of a verdict; the engine returns invalid.
+    ("draft7/optional_format_extra", "uri-template format", "empty expr"),
+    # The reference implements NO RFC 5893 bidi rules (no bidi /
+    # directionality logic anywhere under src/main) — it accepts RTL
+    # labels the RFC forbids. The engine enforces the bidi rule.
+    ("draft7/optional_format_extra",
+     "idn-hostname format (contextual + bidi rules)",
+     "Bidi: EN and AN mixed in one RTL label invalid"),
+    ("draft7/optional_format_extra",
+     "idn-hostname format (contextual + bidi rules)",
+     "Bidi: leading digit in bidi domain invalid"),
+}
+
+
+def test_corpus_verdicts_match_the_reference(ref):
+    cases = list(_corpus_cases())
+    verdicts = ref([(s, i, d, fmt) for _, _, _, s, i, d, fmt, _ in cases])
+    mismatches = []
+    net_skipped = 0
+    defect_skipped = 0
+    for (fid, gdesc, tdesc, s, i, d, fmt, want), got in zip(cases, verdicts):
+        if got == "c" and _needs_network(s):
+            net_skipped += 1
+            continue
+        if (fid, gdesc, tdesc) in _REFERENCE_DEFECT_DIVERGENCES:
+            defect_skipped += 1
+            continue
+        want_ch = "t" if want else "f"
+        if got != want_ch:
+            mismatches.append((fid, gdesc, tdesc, want_ch, got))
+    assert not mismatches, (
+        f"{len(mismatches)}/{len(cases)} corpus verdicts disagree with the "
+        f"REAL reference; first 15: {mismatches[:15]}")
+    assert net_skipped < 25  # only the documented meta-schema-ref cases
+    assert defect_skipped == len(_REFERENCE_DEFECT_DIVERGENCES)
+
+
+@pytest.mark.parametrize("draft,seed", [
+    ("draft7", 11), ("2019-09", 12), ("2020-12", 13),
+    ("draft7", 14), ("2020-12", 15),
+])
+def test_generated_schemas_agree_kernel_vs_reference(ref, draft, seed):
+    from json_schema_spark.core.validator import compile_schema
+
+    rng = random.Random(seed)
+    cases = []
+    compiled = []
+    for _ in range(200):
+        sch = gen.schema(rng, draft, top=True)
+        docs = [gen.value(rng) for _ in range(8)]
+        try:
+            kernel = compile_schema(sch, dialect=draft)
+        except Exception:
+            continue  # generator artifacts the engine rejects: skip
+        sj = json.dumps(sch)
+        for doc in docs:
+            cases.append((sj, json.dumps(doc), draft, False))
+            compiled.append((kernel, sch, doc))
+    verdicts = ref(cases)
+    mismatches = []
+    ref_rejects = 0
+    for (kernel, sch, doc), got in zip(compiled, verdicts):
+        if got == "c":
+            ref_rejects += 1
+            continue
+        mine = "t" if kernel.is_valid(doc) else "f"
+        if mine != got:
+            mismatches.append((sch, doc, got, mine))
+    assert not mismatches, (
+        f"{len(mismatches)}/{len(cases)} verdicts disagree with the REAL "
+        f"reference; first 10: {mismatches[:10]}")
+    # the generator emits only compilable schemas; reference compile
+    # errors would mean the fuzz silently stopped comparing
+    assert ref_rejects < len(cases) * 0.02
