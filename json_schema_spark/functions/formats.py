@@ -98,21 +98,94 @@ _DURATION_RE = re.compile(
 )
 
 
-def is_duration(s: str) -> bool:
-    if not s.startswith("P"):
+def _dur_int_len(v: str, pos: int):
+    """Reference ``parseInt`` (DateTimeFormatValidation.java:220-236):
+    ASCII digits; a multi-digit run starting with 0 is rejected; an
+    EMPTY run is fine (length 0, value 0)."""
+    p = pos
+    result = 0
+    while p < len(v) and "0" <= v[p] <= "9":
+        if p > pos and result == 0:
+            return None
+        result = result * 10 + (ord(v[p]) - 48)
+        p += 1
+    return p - pos
+
+
+def _dur_date(v: str) -> bool:
+    if not v or v[0] != "P":
         return False
-    if re.fullmatch(r"P[0-9]+W", s):
-        return True
-    m = re.fullmatch(
-        r"P(?=.)([0-9]+Y)?([0-9]+M)?([0-9]+D)?"
-        r"(T(?=.)([0-9]+H)?([0-9]+M)?([0-9]+(\.[0-9]+)?S)?)?", s
-    )
-    if not m:
-        return False
-    # "P" / "PT" alone are invalid; T must be followed by a component
-    if s == "P" or s.endswith("T"):
-        return False
+    pos, bits = 1, 0
+    while pos < len(v):
+        n = _dur_int_len(v, pos)
+        if n is None or pos + n >= len(v):
+            return False
+        t = v[pos + n]
+        if t == "Y":
+            bit = 1
+        elif t == "M":
+            bit = 2
+        elif t == "D":
+            bit = 4
+        elif t == "W":
+            bit = 8 if bits == 0 else 0
+        else:
+            bit = 0
+        # strict-< order check: a REPEATED designator passes ("P1M1M")
+        if bit == 0 or bit < bits:
+            return False
+        bits |= bit
+        pos += n + 1
     return True
+
+
+def _dur_time(v: str) -> bool:
+    if not v:
+        return False
+    pos, bits = 0, 0
+    while pos < len(v):
+        n = pos
+        while n < len(v) and (("0" <= v[n] <= "9") or v[n] == "."):
+            n += 1
+        ln = n - pos
+        if ln == 0 or pos + ln >= len(v):
+            return False
+        seg = v[pos:pos + ln]
+        t = v[pos + ln]
+        if t in "HM":
+            # Long.parseLong: digits only (leading zeros fine), <= 2^63-1
+            if not re.fullmatch(r"[0-9]+", seg) or int(seg) > 9223372036854775807:
+                return False
+            bit = 1 if t == "H" else 2
+        elif t == "S":
+            # new BigDecimal(chars): "0." and ".5" parse, "." does not
+            if not re.fullmatch(r"[0-9]+\.?[0-9]*|\.[0-9]+", seg):
+                return False
+            bit = 4
+        else:
+            return False
+        if bit <= bits:
+            return False
+        bits |= bit
+        pos += ln + 1
+    return True
+
+
+def is_duration(s: str) -> bool:
+    """Mirror of the reference's hand parser (``validateDuration``,
+    ``DateTimeFormatValidation.java``), quirks preserved and pinned by
+    the reference fuzz: numbers are OPTIONAL before date designators
+    ("PW" and "PD" are valid, value 0), multi-digit date numbers must
+    not start with 0, a repeated date designator passes ("P1M1M" — the
+    date order check is strict-<, the time one is <=), seconds accept
+    any BigDecimal shape over [0-9.] ("PT0.S", "PT.5S"), and
+    hours/minutes are Long.parseLong (no dot, fits a long)."""
+    parts = s.split("T")
+    if len(parts) == 1:
+        return _dur_date(parts[0]) and len(parts[0]) > 1
+    if len(parts) == 2:
+        return _dur_date(parts[0]) and _dur_time(parts[1]) and len(s) > 2
+    return False
 
 
 # ---------------------------------------------------------------- regex-able
@@ -205,6 +278,17 @@ def _uri_syntax_ok(s: str, ascii_only: bool) -> bool:
         return False
     if parts.scheme and not _SCHEME_RE.match(parts.scheme):
         return False
+    if parts.scheme:
+        rest = s[len(parts.scheme) + 1:].split("#", 1)[0]
+        if rest == "":
+            # java.net.URI: "Expected scheme-specific part" — "a:" and
+            # "a:#f" both throw (reference-fuzz verified)
+            return False
+        if not rest.startswith("/"):
+            # OPAQUE URI: java.net.URI imposes no authority/path
+            # structure on an opaque scheme-specific part, so brackets
+            # etc. are plain characters there ("https:[/x" is accepted)
+            return True
     if "[" in parts.path or "]" in parts.path:
         # java.net.URI: brackets are reserved (RFC 2732) — legal in the
         # authority (IP-literal) and in query/fragment (uric), but NOT
@@ -215,11 +299,13 @@ def _uri_syntax_ok(s: str, ascii_only: bool) -> bool:
         return False
     if "[" in host:
         inner = host[host.index("[") + 1 : host.index("]")]
-        if not inner.lower().startswith("v"):  # IPvFuture passes as-is
-            try:
-                ipaddress.IPv6Address(inner)
-            except ValueError:
-                return False
+        # java.net.URI supports ONLY IPv6 inside brackets — RFC 3986
+        # IPvFuture literals throw ("http://[v7.host]/" is invalid in
+        # the reference; reference-fuzz verified)
+        try:
+            ipaddress.IPv6Address(inner)
+        except ValueError:
+            return False
     return True
 
 
@@ -507,7 +593,10 @@ def _unicode_label_ok(label: str) -> bool:
         return False  # hyphens in positions 3-4 (RFC 5891 §4.2.3.1)
     for ch in label:
         if ch.isascii():
-            if not (ch.isalnum() or ch == "-"):
+            # lowercase-only: IDNA2008 derived property DISALLOWS
+            # uppercase (reference-fuzz: "BÜCHER.DE" invalid; the
+            # all-ASCII hostname path stays case-insensitive)
+            if not ("a" <= ch <= "z" or "0" <= ch <= "9" or ch == "-"):
                 return False
             continue
         if ch in ("\u200c", "\u200d") or ch in _CONTEXTO_EXEMPT:
@@ -517,7 +606,10 @@ def _unicode_label_ok(label: str) -> bool:
             # the IDNA2008 derived property
             return False
         if _ud.category(ch) in ("Cc", "Cf", "Co", "Cn", "Zs", "Zl", "Zp",
-                                "So", "Sk", "Sm", "Sc", "No"):
+                                "So", "Sk", "Sm", "Sc", "No",
+                                # uppercase/titlecase letters: DISALLOWED
+                                # (only the casefolded forms are PVALID)
+                                "Lu", "Lt"):
             return False
     for idx, ch in enumerate(label):
         if ch == "\u00b7":  # MIDDLE DOT needs l·l context
