@@ -171,16 +171,40 @@ _JSON_WS = re.compile(r"[ \t\n\r]*")
 
 
 def parse_json_media(text: str) -> Any:
-    """Jackson ``JsonMapper.readTree`` defaults (the reference's
-    JsonUtils.parse): one JSON value parsed off the front, trailing
-    tokens IGNORED (FAIL_ON_TRAILING_TOKENS is off by default),
-    non-finite number literals rejected. Returns PARSE_FAIL (never
-    None — JSON null parses to None) on failure."""
+    """Jackson ``ObjectReader.readTree`` semantics (the reference's
+    JsonUtils.parse, pinned by the reference content fuzz on jackson
+    2.21). ONE root value is parsed and anything after it is IGNORED
+    ('{"a":1} junk', '1 2', 'null.' all parse) — but the root token
+    itself must terminate cleanly:
+
+    * a root NUMBER must be followed by whitespace or EOF ("42=",
+      "01", "4\x002" all throw "expected space separating root-level
+      values" / leading-zero errors);
+    * a true/false/null literal must not be followed by an identifier
+      character ("trueA" is an unrecognized token; "null." is fine);
+    * strings and balanced objects/arrays always end cleanly.
+
+    Non-finite number literals are rejected; EMPTY or whitespace-only
+    input parses to MissingNode WITHOUT throwing (represented as None
+    here — the contentSchema corner where MissingNode differs from
+    JSON null is documented, not modeled). Returns PARSE_FAIL (never
+    None — JSON null also parses to None) on failure."""
+    start = _JSON_WS.match(text).end()
+    if start == len(text):
+        return None  # Jackson MissingNode: empty input is parseable
     try:
-        v, _ = _JACKSONISH_DECODER.raw_decode(text, _JSON_WS.match(text).end())
-        return v
+        v, end = _JACKSONISH_DECODER.raw_decode(text, start)
     except (ValueError, RecursionError):
         return PARSE_FAIL
+    nxt = text[end] if end < len(text) else ""
+    lead = text[start]
+    if lead not in "\"[{":
+        if lead in "tfn":  # literal token boundary
+            if nxt and (nxt.isalnum() or nxt in "_$"):
+                return PARSE_FAIL
+        elif nxt and nxt not in " \t\n\r":  # root number needs space
+            return PARSE_FAIL
+    return v
 
 
 def is_jsonish_media(media_type: str) -> bool:

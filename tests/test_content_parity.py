@@ -84,9 +84,18 @@ def test_jsonish_media_predicate(mt, ok):
 
 
 def test_json_media_jackson_defaults():
+    # reference-fuzz-pinned ObjectReader.readTree behavior: one root
+    # value, trailing ignored, but root tokens must terminate cleanly
     assert C.parse_json_media("{} junk") == {}
     assert C.parse_json_media("  [1, 2]tail") == [1, 2]
+    assert C.parse_json_media('"s"x') == "s"
+    assert C.parse_json_media("1 2") == 1          # space-terminated root number
+    assert C.parse_json_media("42=") is C.PARSE_FAIL   # root number needs space
+    assert C.parse_json_media("01") is C.PARSE_FAIL    # leading zero
+    assert C.parse_json_media("trueA") is C.PARSE_FAIL  # unrecognized token
+    assert C.parse_json_media("null.") is None     # '.' ends the literal cleanly
     assert C.parse_json_media("NaN") is C.PARSE_FAIL
     assert C.parse_json_media("-Infinity") is C.PARSE_FAIL
-    assert C.parse_json_media("") is C.PARSE_FAIL
+    assert C.parse_json_media("") is None          # Jackson MissingNode
+    assert C.parse_json_media("   ") is None
     assert C.parse_json_media("null") is None
