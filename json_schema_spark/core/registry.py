@@ -26,8 +26,14 @@ __all__ = [
 _MISSING = object()
 
 
-class SchemaResolutionError(Exception):
-    pass
+class SchemaCompileError(Exception):
+    """Schema rejected at compile time — the analogue of the
+    reference's SchemaCompileException/checkIt guards."""
+
+
+class SchemaResolutionError(SchemaCompileError):
+    """$ref / $id resolution failure: a species of compile error (the
+    reference raises LocatedSchemaCompileException for these too)."""
 
 
 class SchemaDialectError(Exception):

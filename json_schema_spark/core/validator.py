@@ -47,13 +47,10 @@ from .jsonvalue import (
     to_decimal,
     type_matches,
 )
-from .registry import SchemaRegistry, SchemaResolutionError
+from .registry import (SchemaCompileError, SchemaRegistry,
+                       SchemaResolutionError)
 
 __all__ = ["CompileConfig", "CompiledSchema", "compile_schema", "SchemaCompileError"]
-
-
-class SchemaCompileError(Exception):
-    pass
 
 
 @dataclass
@@ -168,7 +165,16 @@ class _Compiler:
             return _c[0](inst, path, scope)
 
         self._memo[key] = proxy
-        built = self._build(node)
+        try:
+            built = self._build(node)
+        except SchemaCompileError:
+            raise
+        except (TypeError, ValueError, ArithmeticError, AttributeError) as e:
+            # malformed keyword arguments ({"maximum": []}, {"type":
+            # null}, {"dependentRequired": {"a": 1}}, ...) must surface
+            # as schema compile errors like the reference's checkIt
+            # guards, never as raw crashes
+            raise SchemaCompileError(f"malformed keyword argument: {e}") from e
         cell[0] = built
         self._memo[key] = built
         # keep the proxy working for any early captures
@@ -191,7 +197,14 @@ class _Compiler:
 
             return always_fail
         if not isinstance(node, dict):
-            raise SchemaCompileError(f"schema must be object or boolean, got {type(node).__name__}")
+            # the reference compiles ANY non-object, non-boolean schema
+            # node to an always-OK validator (Compiler.java:84-86
+            # schemaOk fallthrough) — {"then": "x"} is a valid schema
+            # whose then-branch never fails (reference-fuzz verified)
+            def non_schema_ok(inst, path, scope):
+                return True, None, None
+
+            return non_schema_ok
 
         dialect = self.registry.dialect_of_node(node) or self.config.dialect
         base = self.registry.base_of(node)
@@ -202,6 +215,7 @@ class _Compiler:
             sub = self.compile_node(target)
             return self._wrap_resource(node, sub)
 
+        self._check_keyword_args(node, dialect)
         kws: list[Callable] = []  # each: fn(inst, path, scope, ann, errors) -> bool
         add = kws.append
 
@@ -281,11 +295,11 @@ class _Compiler:
             add(self._kw_unique_items())
 
         if "allOf" in node:
-            add(self._kw_all_of(node["allOf"]))
+            add(self._kw_all_of(self._schemas_array("allOf", node["allOf"])))
         if "anyOf" in node:
-            add(self._kw_any_of(node["anyOf"]))
+            add(self._kw_any_of(self._schemas_array("anyOf", node["anyOf"])))
         if "oneOf" in node:
-            add(self._kw_one_of(node["oneOf"]))
+            add(self._kw_one_of(self._schemas_array("oneOf", node["oneOf"])))
         if "not" in node:
             add(self._kw_not(node["not"]))
         if "if" in node:
@@ -943,7 +957,90 @@ class _Compiler:
 
         return kv
 
+
+    # ---------------------------------------------- compile-time guards
+
+    def _check_keyword_args(self, node: dict, dialect: str) -> None:
+        """Mirror of the reference's checkIt compile guards (each cited
+        at its compiler): malformed keyword ARGUMENTS are schema
+        compile errors, even though malformed SUBSCHEMAS are silently
+        always-valid (Compiler.java:84-86). Pinned by
+        ``test_reference_differential.test_schema_compile_rejection_agrees``."""
+
+        def bad(kw: str, msg: str):
+            raise SchemaCompileError(f"the value of {kw!r} {msg}")
+
+        def chk_int(kw: str):
+            v = node[kw]
+            if isinstance(v, bool) or not is_number(v):
+                bad(kw, "must be an integer")
+            d = to_decimal(v)
+            if d != d.to_integral_value():
+                bad(kw, "must be an integer")  # Utils.getCheckedInteger
+            if d < 0:
+                bad(kw, "must be non-negative")  # e.g. MinItemsCompiler:33
+
+        for kw in ("minLength", "maxLength", "minItems", "maxItems",
+                   "minProperties", "maxProperties",
+                   "minContains", "maxContains"):
+            if kw in node:
+                chk_int(kw)
+        for kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
+            if kw in node and (isinstance(node[kw], bool) or not is_number(node[kw])):
+                bad(kw, "must be a number")  # BaseNumberCompiler:22
+        if "multipleOf" in node:
+            v = node["multipleOf"]
+            if isinstance(v, bool) or not is_number(v) or to_decimal(v) <= 0:
+                bad("multipleOf", "must be a positive number")  # MultipleOfCompiler:35-38
+        if "uniqueItems" in node and not isinstance(node["uniqueItems"], bool):
+            bad("uniqueItems", "must be a boolean")  # UniqueItemsCompiler:36
+        for kw in ("$ref", "$recursiveRef", "$dynamicRef", "pattern"):
+            if kw in node and not isinstance(node[kw], str):
+                bad(kw, "must be a string")  # RefCompiler:34, PatternCompiler
+        if "type" in node and not isinstance(node["type"], (str, list)):
+            bad("type", "must be a string or array")  # TypeCompiler checkIt
+        if "enum" in node:
+            v = node["enum"]
+            if not isinstance(v, list) or not v:
+                bad("enum", "must be a non-empty array")  # EnumCompiler:41-42
+            seen = set()
+            for m in v:
+                k = canon_key(m)
+                if k in seen:
+                    # the TreeSet insert throws on a (numerically
+                    # tolerant) duplicate member (EnumCompiler:44-47)
+                    bad("enum", "must not contain duplicate members")
+                seen.add(k)
+        if "required" in node:
+            v = node["required"]
+            if not isinstance(v, list) or any(not isinstance(x, str) for x in v):
+                bad("required", "must be an array of strings")  # RequiredCompiler
+            if len(set(v)) != len(v):
+                bad("required", "must not contain duplicates")
+        for kw in ("properties", "patternProperties", "dependentSchemas",
+                   "dependentRequired"):
+            if kw in node and not isinstance(node[kw], dict):
+                bad(kw, "must be an object")  # PropertiesCompiler:31 et al.
+        if "dependentRequired" in node:
+            for dep in node["dependentRequired"].values():
+                if not isinstance(dep, list) or any(
+                        not isinstance(x, str) for x in dep):
+                    bad("dependentRequired", "values must be arrays of strings")
+        if dialect == "2020-12" and "prefixItems" in node:
+            v = node["prefixItems"]
+            if not isinstance(v, list) or not v:
+                bad("prefixItems", "must be a non-empty array")  # PrefixItemsFactory:49
+
     # ------------------------------------------------------ combinators
+
+
+    def _schemas_array(self, kw: str, schemas: Any) -> list:
+        # BaseSomeOfCompiler.prepareValidators checkIt: the value must
+        # be a non-empty array ({"anyOf": []} is a compile error)
+        if not isinstance(schemas, list) or not schemas:
+            raise SchemaCompileError(
+                f"the value of {kw} must be a non-empty array")
+        return schemas
 
     def _kw_all_of(self, schemas: list) -> Callable:
         subs = [self._sub(s) for s in schemas]

@@ -22,6 +22,17 @@ WITHOUT touching its semantics:
   COPY of the sources at build time. Each patch is a literal
   one-liner; none changes behavior.
 
+Document-parse divergence (deliberate, probed): ``Schema.apply`` on a
+MALFORMED document ("}{", "01") THROWS IllegalArgumentException — one
+bad row would kill a table-scale job — and an EMPTY/whitespace string
+parses to Jackson's MissingNode (matches no type: ``{}`` -> valid,
+``{"type": ...}`` -> invalid, type-gated keywords no-op). The engine
+instead returns verdict=false with a ``$parse`` violation for both:
+the only usable row-wise semantics in a DataFrame engine. The
+differentials below never emit empty or malformed instances
+(``json.dumps`` output is always parseable), so this never masks a
+real mismatch.
+
 Known environment artifact: a ``$ref`` to the draft-07 meta-schema
 needs network in the reference (its embedded resolver keys the $id
 WITH the trailing ``#`` while ref resolution strips fragments, so only
@@ -268,3 +279,47 @@ def test_generated_schemas_agree_kernel_vs_reference(ref, draft, seed):
     # the generator emits only compilable schemas; reference compile
     # errors would mean the fuzz silently stopped comparing
     assert ref_rejects < len(cases) * 0.02
+
+_BAD_VALUES = [None, True, -1, 0.5, "x", [], {}, [1, 1], ["a", "a"],
+               {"a": 1}, "   ", 2.0]
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_schema_compile_rejection_agrees(ref, seed):
+    """Corrupt one keyword argument per generated schema and compare
+    COMPILE accept/reject with the reference (its checkIt guards raise
+    at SchemaBuilder.compile; our SchemaCompileError must align)."""
+    from json_schema_spark.core.validator import SchemaCompileError, compile_schema
+
+    rng = random.Random(seed)
+    cases = []
+    for _ in range(300):
+        sch = gen.schema(rng, "2020-12", top=True)
+        if not isinstance(sch, dict) or not sch:
+            continue
+        kw = rng.choice(sorted(sch))
+        sch = dict(sch)
+        sch[kw] = rng.choice(_BAD_VALUES)
+        cases.append(sch)
+    verdicts = ref([(json.dumps(s), "1", "2020-12", False) for s in cases])
+    mismatches = []
+    for sch, got in zip(cases, verdicts):
+        if got == "e":
+            # the reference defers some failures to apply() (e.g. a
+            # whitespace $ref URI resolving lazily): rejecting at
+            # compile OR validate both count as rejection — skip
+            continue
+        ref_rejects = got == "c"
+        try:
+            compile_schema(sch, dialect="2020-12")
+            mine_rejects = False
+        except SchemaCompileError:
+            mine_rejects = True
+        except Exception as e:  # never a raw crash
+            mismatches.append((sch, got, f"raised {type(e).__name__}"))
+            continue
+        if mine_rejects != ref_rejects:
+            mismatches.append((sch, got, "kernel-rejects" if mine_rejects else "kernel-accepts"))
+    assert not mismatches, (
+        f"{len(mismatches)}/{len(cases)} compile verdicts disagree with the "
+        f"reference; first 10: {mismatches[:10]}")
