@@ -110,17 +110,32 @@ KEYWORD_TO_KIND: dict[str, ErrorKind] = {
 }
 
 
-def error_kind_of(keyword: str) -> ErrorKind:
+def error_kind_of(keyword: str, message: str = "") -> ErrorKind:
+    if keyword == "oneOf" and message:
+        # two reference kinds share the keyword: EErrorType
+        # ONE_OF_EMPTY vs ONE_OF_MORE_THAN_ONE; both engines prefix the
+        # zero-match message with the count (no message -> the map's
+        # ONE_OF_EMPTY default, same as the message-less Column form)
+        return (ErrorKind.ONE_OF_EMPTY if message.startswith("0 ")
+                else ErrorKind.ONE_OF_MORE_THAN_ONE)
     return KEYWORD_TO_KIND.get(keyword, ErrorKind.OTHER)
 
 
-def error_kind_col(keyword: Column) -> Column:
+def error_kind_col(keyword: Column, message: Column = None) -> Column:
     """Column expression mapping a violation keyword to its kind — an
     O(1)-ish literal-map lookup (one hash probe per row) instead of a
-    44-deep nested CASE chain, keeps generated code flat. No UDF."""
+    44-deep nested CASE chain, keeps generated code flat. No UDF.
+    ``message`` (when given) disambiguates oneOf's two kinds."""
     pairs: list[Column] = []
     for kw, kind in KEYWORD_TO_KIND.items():
         pairs.append(F.lit(kw))
         pairs.append(F.lit(kind.value))
     lookup = F.create_map(*pairs)
-    return F.coalesce(F.element_at(lookup, keyword), F.lit(ErrorKind.OTHER.value))
+    base = F.coalesce(F.element_at(lookup, keyword), F.lit(ErrorKind.OTHER.value))
+    if message is None:
+        return base
+    return F.when(
+        keyword == "oneOf",
+        F.when(message.startswith("0 "), F.lit(ErrorKind.ONE_OF_EMPTY.value))
+         .otherwise(F.lit(ErrorKind.ONE_OF_MORE_THAN_ONE.value)),
+    ).otherwise(base)

@@ -686,7 +686,7 @@ class _Compiler:
 
         return kv
 
-    def _kw_dependent_required(self, arg: dict) -> Callable:
+    def _kw_dependent_required(self, arg: dict, kw: str = "dependentRequired") -> Callable:
         deps = {k: tuple(v) for k, v in arg.items()}
 
         def kv(inst, path, scope, ann, errors):
@@ -697,7 +697,7 @@ class _Compiler:
                 if k in inst:
                     for n in needs:
                         if n not in inst:
-                            self._err(errors, path, "dependentRequired", f"{k!r} requires {n!r}")
+                            self._err(errors, path, kw, f"{k!r} requires {n!r}")
                             ok = False
             return ok
 
@@ -711,7 +711,11 @@ class _Compiler:
         req_form = {k: v for k, v in arg.items() if isinstance(v, list)}
         sch_form = {k: v for k, v in arg.items() if isinstance(v, (dict, bool))}
         if req_form:
-            out.append(self._kw_dependent_required(req_form))
+            # keep the SOURCE keyword: the reference's error kind for
+            # the draft-7 dual form is DEPENDENCIES, not
+            # DEPENDENT_REQUIRED (DependenciesCompiler.java, error-kind
+            # differential verified)
+            out.append(self._kw_dependent_required(req_form, kw="dependencies"))
         if sch_form:
             out.append(self._kw_dependent_schemas(sch_form, kw="dependencies"))
         return out

@@ -298,8 +298,12 @@ class _BaseCompiler:
         if "oneOf" in node:
             oks = [ok_of(self.compile(s, val, path)) for s in node["oneOf"]]
             n_ok = reduce(lambda a, b: a + b, [o.cast("int") for o in oks])
-            checks.append(Check(_nn(self.v_present(val) & (n_ok != 1)), p, "oneOf",
-                                "need exactly one matching branch"))
+            # two checks so the error KIND can distinguish the
+            # reference's ONE_OF_EMPTY vs ONE_OF_MORE_THAN_ONE
+            checks.append(Check(_nn(self.v_present(val) & (n_ok == 0)), p, "oneOf",
+                                "0 branches matched, need exactly 1"))
+            checks.append(Check(_nn(self.v_present(val) & (n_ok > 1)), p, "oneOf",
+                                "more than one branch matched, need exactly 1"))
         if "not" in node:
             sub_ok = ok_of(self.compile(node["not"], val, path))
             checks.append(Check(_nn(self.v_present(val) & sub_ok), p, "not",
@@ -313,19 +317,25 @@ class _BaseCompiler:
                                 "conditional schema failed"))
         deps = {}
         if "dependentRequired" in node:
-            deps.update({k: v for k, v in node["dependentRequired"].items()})
+            deps.update({k: (v, "dependentRequired")
+                         for k, v in node["dependentRequired"].items()})
         if "dependencies" in node:
-            deps.update(node["dependencies"])
-        for k, d in deps.items():
+            deps.update({k: (v, "dependencies")
+                         for k, v in node["dependencies"].items()})
+        for k, (d, src_kw) in deps.items():
+            # the violation keyword is the SOURCE keyword: draft-7's
+            # dual-form "dependencies" maps to the reference's
+            # DEPENDENCIES error kind, not DEPENDENT_REQUIRED
             trigger = self.v_has_prop(val, k)
             if isinstance(d, list):
                 need = [self.v_has_prop(val, n) for n in d]
                 ok = reduce(lambda a, b: a & b, need) if need else F.lit(True)
-                checks.append(Check(_nn(trigger & ~ok), p, "dependentRequired",
+                checks.append(Check(_nn(trigger & ~ok), p, src_kw,
                                     f"{k!r} requires {d}"))
             else:
                 sub_ok = ok_of(self.compile(d, val, path))
-                checks.append(Check(_nn(trigger & ~sub_ok), p, "dependentSchemas",
+                kw = "dependentSchemas" if src_kw == "dependentRequired" else src_kw
+                checks.append(Check(_nn(trigger & ~sub_ok), p, kw,
                                     f"schema dependency on {k!r} failed"))
         if "dependentSchemas" in node:
             for k, d in node["dependentSchemas"].items():

@@ -373,5 +373,6 @@ class SparkValidator:
         if with_kinds:
             from ..core.errors import error_kind_col
 
-            out = out.withColumn("error_kind", error_kind_col(F.col("keyword")))
+            out = out.withColumn(
+                "error_kind", error_kind_col(F.col("keyword"), F.col("message")))
         return out

@@ -64,7 +64,28 @@ public class RefProbe {
                 }
             }
             try {
-                out.append(schema.apply(instance).isOk() ? 't' : 'f').append('\n');
+                var result = schema.apply(instance);
+                if (result.isOk()) {
+                    out.append("t\n");
+                } else {
+                    // verdict plus the sorted unique EErrorType set
+                    // (read reflectively: ValidationError keeps the
+                    // enum private) for the error-kind differential
+                    java.util.TreeSet<String> kinds = new java.util.TreeSet<>();
+                    result.asStream()
+                        .filter(r -> r.getType()
+                            == io.github.georgeakulov.json_schema.results.IValidationResult.Type.ERROR)
+                        .forEach(r -> {
+                            try {
+                                var fld = r.getClass().getDeclaredField("errorType");
+                                fld.setAccessible(true);
+                                kinds.add(String.valueOf(fld.get(r)));
+                            } catch (Exception ignore) {
+                                kinds.add("?");
+                            }
+                        });
+                    out.append("f:").append(String.join(",", kinds)).append('\n');
+                }
             } catch (Throwable t) {
                 out.append("e\n");
             }

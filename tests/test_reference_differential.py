@@ -151,9 +151,10 @@ def ref(tmp_path_factory):
         check=True, capture_output=True)
     run_cp = f"{classes}:{REFERENCE / 'src' / 'main' / 'resources'}:{cp}"
 
-    def run(cases):
+    def run(cases, kinds=False):
         """cases: [(schema_json, instance_json, dialect, fmt_bool)] ->
-        verdict chars (t/f/c/e)."""
+        verdict chars (t/f/c/e); with kinds=True an 'f' verdict keeps
+        its ':KIND1,KIND2' suffix (the reference's EErrorType set)."""
         payload = "\n".join(
             base64.b64encode(s.encode()).decode() + "\t"
             + base64.b64encode(i.encode()).decode() + "\t"
@@ -164,7 +165,7 @@ def ref(tmp_path_factory):
             capture_output=True, text=True, check=True)
         out = r.stdout.split()
         assert len(out) == len(cases), r.stderr[-2000:]
-        return out
+        return out if kinds else [v.split(":")[0] for v in out]
 
     return run
 
@@ -323,3 +324,54 @@ def test_schema_compile_rejection_agrees(ref, seed):
     assert not mismatches, (
         f"{len(mismatches)}/{len(cases)} compile verdicts disagree with the "
         f"reference; first 10: {mismatches[:10]}")
+
+def test_error_kinds_cover_the_reference(ref):
+    """Typed-error-model differential: for every failing corpus case,
+    the reference's EErrorType set must be a SUBSET of our violation
+    kinds (we additionally emit applicator-context violations —
+    ADDITIONAL_PROPERTIES / branch errors under anyOf / DEPENDENCIES
+    wrappers — which the reference's flattened tree does not), and the
+    two sets must be exactly equal for most cases."""
+    from json_schema_spark.core.errors import error_kind_of
+    from json_schema_spark.core.validator import CompileConfig, compile_schema
+
+    # documented kind divergence: the reference's AdditionalItemsCompiler
+    # absorbs tuple-items results and treats FAILED positions as
+    # unevaluated, so a wrong-type positional item surfaces as the
+    # additionalItems FALSE_SCHEMA (the TYPE error is swallowed); we
+    # report the real positional cause
+    kind_divergences = {
+        ("draft7/edgecases", "tuple items with additionalItems false",
+         "wrong positional type"),
+    }
+    cases = [c for c in _corpus_cases() if not c[7]]
+    verdicts = ref([(s, i, d, fmt) for _, _, _, s, i, d, fmt, _ in cases],
+                   kinds=True)
+    missing = []
+    exact = checked = 0
+    for (fid, gdesc, tdesc, s, i, d, fmt, _), got in zip(cases, verdicts):
+        if not got.startswith("f:"):
+            continue
+        if (fid, gdesc, tdesc) in kind_divergences:
+            continue
+        ref_kinds = set(got[2:].split(",")) if len(got) > 2 else set()
+        try:
+            kernel = compile_schema(
+                json.loads(s), dialect=d,
+                config=CompileConfig(dialect=d, format_assertions=fmt))
+            ok, errs = kernel.validate_json(i)
+        except Exception:
+            continue
+        if ok:
+            continue  # verdict parity is the other test's job
+        mine = {error_kind_of(kw, msg).name for _, kw, msg in (errs or [])}
+        checked += 1
+        if ref_kinds <= mine:
+            exact += ref_kinds == mine
+        else:
+            missing.append((fid, gdesc, tdesc, sorted(ref_kinds - mine),
+                            sorted(mine)))
+    assert not missing, (
+        f"{len(missing)}/{checked} failing cases MISS a reference error "
+        f"kind; first 10: {missing[:10]}")
+    assert checked > 250 and exact / checked > 0.8, (checked, exact)
