@@ -809,9 +809,20 @@ class _Compiler:
             if not isinstance(inst, list):
                 if not taa:
                     return True
-                # wrap as a one-element array (ToArrayWrapper.tryWrap,
-                # Items2020CompilerFactory.java:100-130)
-                inst = [inst]
+                # ToArrayWrapper.tryWrap (Items2020CompilerFactory.java:
+                # 54-60,100-130) wraps ONLY inside the items validator,
+                # which then validates indices FROM len(prefixItems):
+                # prefixItems itself no-ops on non-arrays, so a scalar
+                # under a schema with any prefix is vacuously valid
+                # (reference treat-as-array differential verified)
+                if items_sub is None or np > 0:
+                    return True
+                s_ok, errs, _ = items_sub(inst, path + (0,), scope)
+                if not s_ok:
+                    if errors is not None and errs:
+                        errors.extend(errs)
+                    return False
+                return True
             ok = True
             for i, sub in enumerate(prefix_subs):
                 if i >= len(inst):

@@ -13,8 +13,9 @@ import java.util.HashMap;
  *
  * Protocol: one case per stdin line, TAB-separated fields:
  *   base64(schema-json) TAB base64(instance-json) TAB dialect TAB fmt
+ *   [TAB taa]
  * dialect in {draft7, 2019-09, 2020-12}; fmt = 1 forces format
- * assertions. One verdict char per output line:
+ * assertions; taa = 1 enables setTryCastToArray. One verdict char per output line:
  *   t/f  validation verdict
  *   c    schema compile error
  *   e    validation threw
@@ -35,7 +36,8 @@ public class RefProbe {
             String instance = new String(b64.decode(f[1]), StandardCharsets.UTF_8);
             String dialect = f.length > 2 ? f[2] : "2020-12";
             boolean fmt = f.length > 3 && f[3].equals("1");
-            String key = dialect + "|" + fmt + "|" + schemaJson;
+            boolean taa = f.length > 4 && f[4].equals("1");
+            String key = dialect + "|" + fmt + "|" + taa + "|" + schemaJson;
             if (failed.containsKey(key)) {
                 out.append(failed.get(key)).append('\n');
                 continue;
@@ -55,6 +57,7 @@ public class RefProbe {
                             b.setDefaultDialect("https://json-schema.org/draft/2020-12/schema");
                     }
                     if (fmt) b.setFormatAssertionsEnabled(true);
+                    if (taa) b.setTryCastToArray(true);
                     schema = b.compile(schemaJson);
                     cache.put(key, schema);
                 } catch (Throwable t) {

@@ -156,10 +156,11 @@ def ref(tmp_path_factory):
         verdict chars (t/f/c/e); with kinds=True an 'f' verdict keeps
         its ':KIND1,KIND2' suffix (the reference's EErrorType set)."""
         payload = "\n".join(
-            base64.b64encode(s.encode()).decode() + "\t"
-            + base64.b64encode(i.encode()).decode() + "\t"
-            + d + "\t" + ("1" if fmt else "0")
-            for s, i, d, fmt in cases)
+            base64.b64encode(c[0].encode()).decode() + "\t"
+            + base64.b64encode(c[1].encode()).decode() + "\t"
+            + c[2] + "\t" + ("1" if c[3] else "0")
+            + ("\t1" if len(c) > 4 and c[4] else "")
+            for c in cases)
         r = subprocess.run(
             [JAVA, "-cp", run_cp, "RefProbe"], input=payload + "\n",
             capture_output=True, text=True, check=True)
@@ -375,3 +376,37 @@ def test_error_kinds_cover_the_reference(ref):
         f"{len(missing)}/{checked} failing cases MISS a reference error "
         f"kind; first 10: {missing[:10]}")
     assert checked > 250 and exact / checked > 0.8, (checked, exact)
+
+@pytest.mark.parametrize("seed", [31])
+def test_treat_as_array_agrees_with_reference(ref, seed):
+    """setTryCastToArray differential: generated schemas + instances
+    through the reference with the experimental mode on, vs the kernel
+    with treat_as_array=True."""
+    from json_schema_spark.core.validator import CompileConfig, compile_schema
+
+    rng = random.Random(seed)
+    cases = []
+    kernels = []
+    for _ in range(150):
+        sch = gen.schema(rng, "2020-12", top=True)
+        try:
+            kernel = compile_schema(sch, config=CompileConfig(
+                dialect="2020-12", treat_as_array=True))
+        except Exception:
+            continue
+        sj = json.dumps(sch)
+        for _ in range(6):
+            doc = gen.value(rng)
+            cases.append((sj, json.dumps(doc), "2020-12", False, True))
+            kernels.append((kernel, sch, doc))
+    verdicts = ref(cases)
+    mismatches = []
+    for (kernel, sch, doc), got in zip(kernels, verdicts):
+        if got not in ("t", "f"):
+            continue
+        mine = "t" if kernel.is_valid(doc) else "f"
+        if mine != got:
+            mismatches.append((sch, doc, got, mine))
+    assert not mismatches, (
+        f"{len(mismatches)}/{len(cases)} treat-as-array verdicts disagree; "
+        f"first 10: {mismatches[:10]}")
