@@ -739,32 +739,82 @@ def _email_domain_ok(domain: str) -> bool:
     return _DOMAIN_LABEL_RE.fullmatch(ascii_d) is not None
 
 
+_JAVA_HEX_INT = re.compile(r"[+-]?[0-9a-fA-F]+")  # Integer.parseInt(s, 16)
+_COMMONS_IPV4 = re.compile(r"([0-9]{1,3})\.([0-9]{1,3})\.([0-9]{1,3})\.([0-9]{1,3})")
+
+
+def _commons_ipv4_ok(s: str) -> bool:
+    m = _COMMONS_IPV4.fullmatch(s)
+    if not m:
+        return False
+    for seg in m.groups():
+        if int(seg) > 255 or (len(seg) > 1 and seg.startswith("0")):
+            return False
+    return True
+
+
 def _email_ipv6_ok(addr: str) -> bool:
-    """The email path's v6 check is the vendored commons
+    """Faithful port of the vendored commons
     InetAddressValidator.isValidInet6Address
-    (InetAddressValidator.java:134-160), which — unlike the format-ipv6
-    Ipv6Validator — allows an optional /prefix (1-3 digits, ≤128), an optional
-    %zone (no whitespace, '/' or '%'), and strips an exact "IPv6:"
-    prefix; it does NOT strip brackets."""
+    (InetAddressValidator.java:134-227), which the email path uses —
+    unlike the format-ipv6 Ipv6Validator. Quirks preserved (reference
+    format fuzz): optional /prefix (1-3 ASCII digits, <= 128), optional
+    %zone (no whitespace, / or %), an exact "IPv6:" prefix stripped, no brackets,
+    and each hex group parsed with Integer.parseInt(s, 16) — which
+    accepts a LEADING SIGN, so "::+1" is a valid address here."""
     parts = addr.split("/")
     if len(parts) > 2:
         return False
     if len(parts) == 2:
-        # DIGITS_PATTERN is \d{1,3} (Java default = ASCII) and the
-        # range check is bits <= MAX_BYTE = 128
-        # (InetAddressValidator.java:40,64,141-148)
         if not re.fullmatch(r"[0-9]{1,3}", parts[1]) or int(parts[1]) > 128:
             return False
-    head, pct, zone = parts[0].partition("%")
-    if pct and (not zone or re.search(r"[ \t\n\x0b\f\r/%]", zone)):
+    zparts = parts[0].split("%")
+    if len(zparts) > 2 or (len(zparts) == 2
+                           and not re.fullmatch(r"[^\s/%]+", zparts[1])):
         return False
-    if head.startswith("IPv6:"):
-        head = head[5:]
-    try:
-        ipaddress.IPv6Address(head)
-        return True
-    except ValueError:
+    a = zparts[0]
+    if a.startswith("IPv6:"):
+        a = a[5:]
+    compressed = "::" in a
+    if compressed and a.find("::") != a.rfind("::"):
         return False
+    starts_c = a.startswith("::")
+    ends_c = a.endswith("::")
+    if (a.startswith(":") and not starts_c) or (a.endswith(":") and not ends_c):
+        return False
+    octets = a.split(":")
+    if compressed:
+        if ends_c:
+            octets.append("")  # String.split drops trailing empties
+        elif starts_c and octets:
+            octets.pop(0)
+    if len(octets) > 8:
+        return False
+    valid = 0
+    empty = 0
+    for idx, octet in enumerate(octets):
+        if octet.strip() == "":  # Java isBlank
+            empty += 1
+            if empty > 1:
+                return False
+        else:
+            empty = 0
+            if idx == len(octets) - 1 and "." in octet:
+                if not _commons_ipv4_ok(octet):
+                    return False
+                valid += 2
+                continue
+            if len(octet) > 4:
+                return False
+            if not _JAVA_HEX_INT.fullmatch(octet):
+                return False
+            v = int(octet, 16)
+            if v < 0 or v > 0xFFFF:
+                return False
+        valid += 1
+    if valid > 8 or (valid < 8 and not compressed):
+        return False
+    return True
 
 
 def _email_ok(s: str) -> bool:

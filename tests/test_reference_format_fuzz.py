@@ -15,12 +15,19 @@ Documented divergences filtered out (see
 * uri-template inputs whose parse crosses the ``{}``-crash defect:
   the probe reports 'e' (uncaught exception), which is skipped and
   counted, never treated as a verdict.
+* hostname labels starting ``xn--`` whose remainder contains non-LDH
+  characters: the reference's ``Punycode.decodeDigit`` is missing its
+  lower-bound guards (``Punycode.java:97-102`` — any codepoint below
+  '0' hits the first branch, '@'..'`' return NEGATIVE digits), so
+  garbage A-labels "decode" and may validate; our strict RFC 3492
+  decode rejects them.
 """
 
 from __future__ import annotations
 
 import json
 import random
+import re
 import unicodedata
 
 import pytest
@@ -56,11 +63,21 @@ SEEDS: dict[str, list[str]] = {
     "relative-json-pointer": ["0", "1/a", "0#", "01/a", "-1/a"],
     "regex": ["a+b", "[a-", "(?=x)", "a{1,2}"],
     "email": ["a@example.com", "a.b+c@ex.co", "\"quoted\"@example.com",
-              "a@[127.0.0.1]", "a@b", "a..b@example.com"],
-    "idn-email": ["üser@exämple.com", "user@例え.jp"],
+              "a@[127.0.0.1]", "a@b", "a..b@example.com",
+              "\"a b\"@example.com", "\"a\\\"b\"@example.com", ".a@example.com",
+              "a.@example.com", "a@example.co1", "a@example.c",
+              "a@exa_mple.com", "a@-example.com", "a@example-.com",
+              "a@[IPv6:::1]", "a@[300.1.1.1]", "a!#$%&'*+-/=?^_`{|}~z@example.com",
+              "a@" + "b" * 64 + ".com", "a@example..com", "a b@example.com"],
+    "idn-email": ["üser@exämple.com", "user@例え.jp", "user@xn--r8jz45g.jp",
+                  "üser@-bad.de", "user@例え..jp"],
     "hostname": ["example.com", "a-b.c", "-ab.c", "ab-.c", "a" * 63 + ".c",
-                 "a" * 64 + ".c", "xn--nxasmq6b.example"],
-    "idn-hostname": ["example.com", "bücher.de", "実例.jp", "xn--bcher-kva.de"],
+                 "a" * 64 + ".c", "xn--nxasmq6b.example", "a.b-", "a..b",
+                 "a.123", "1.2.3.4", "a.com.", "xn--a.example",
+                 ("a." * 126) + "a", ("a." * 127) + "a"],
+    "idn-hostname": ["example.com", "bücher.de", "実例.jp", "xn--bcher-kva.de",
+                     "xn--a.de", "a·b.de", "ぁ‌ぃ.jp", "۰۱.ir", "٠١.eg",
+                     "০১.bd", "χρόνος.gr", "a‍b.de", "ل‌ا.ir"],
 }
 
 _ALPHABET = list("abzAZ09.-:/@%+{}[]~_") + ["é", "٣", "実", "‍", " ", ""]
@@ -82,6 +99,15 @@ def _mutate(rng: random.Random, s: str) -> str:
     return s + rng.choice(_ALPHABET)
 
 
+def _garbage_alabel(s: str) -> bool:
+    """A label routed into the reference's buggy Punycode decode: it
+    starts xn-- but carries non-LDH characters."""
+    for label in s.lower().split("."):
+        if label.startswith("xn--") and re.search(r"[^a-z0-9-]", label[4:]):
+            return True
+    return False
+
+
 def _has_rtl(s: str) -> bool:
     return any(unicodedata.bidirectional(c) in ("R", "AL", "AN") for c in s)
 
@@ -93,8 +119,9 @@ def test_format_verdicts_match_reference(ref, fmt):
     # cross-pollinate with other formats' strings and mutations
     others = [s for k, v in SEEDS.items() if k != fmt for s in v]
     pool += rng.sample(others, min(20, len(others)))
+    reps = 10 if fmt in ("email", "idn-email", "hostname", "idn-hostname") else 6
     for s in list(pool):
-        for _ in range(6):
+        for _ in range(reps):
             pool.append(_mutate(rng, s))
     schema = json.dumps({"format": fmt})
     cases = [(schema, json.dumps(s), "2020-12", True) for s in pool]
@@ -108,6 +135,10 @@ def test_format_verdicts_match_reference(ref, fmt):
             continue
         if fmt in ("idn-hostname", "idn-email") and _has_rtl(s):
             skipped += 1  # reference has no bidi rules; ours does
+            continue
+        if fmt in ("hostname", "idn-hostname", "email", "idn-email") \
+                and _garbage_alabel(s):
+            skipped += 1  # reference Punycode decodeDigit defect
             continue
         try:
             v = "t" if mine(s) else "f"
