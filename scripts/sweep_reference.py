@@ -1,0 +1,151 @@
+"""Fresh-seed sweep of the compiled-reference differentials.
+
+Reuses the build/probe machinery from tests/test_reference_differential
+but with many fresh seeds — the round-close confidence ritual (the
+per-commit pytest seeds are fixed; this answers "was that luck?").
+
+Usage: python scripts/sweep_reference.py [n_seeds] [base_seed]
+Prints one summary line per family and a final verdict-count total.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import random
+import shutil
+import subprocess
+import sys
+import tempfile
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+from tests import differential_gen as gen  # noqa: E402
+from tests import test_reference_differential as R  # noqa: E402
+from json_schema_spark.core.validator import (  # noqa: E402
+    CompileConfig,
+    SchemaCompileError,
+    compile_schema,
+)
+
+
+def build(tmp: pathlib.Path):
+    src = tmp / "src"
+    shutil.copytree(R.REFERENCE / "src" / "main" / "java", src)
+    for rel, old, new in R._PATCHES:
+        f = src / rel
+        text = f.read_text(encoding="utf-8")
+        assert old in text, rel
+        f.write_text(text.replace(old, new), encoding="utf-8")
+    classes = tmp / "classes"
+    classes.mkdir()
+    sources = [str(p) for p in src.rglob("*.java")]
+    sources += [str(p) for p in (ROOT / "tests" / "refjava").rglob("*.java")]
+    listing = tmp / "sources.txt"
+    listing.write_text("\n".join(sources))
+    cp = ":".join(R.JACKSON)
+    subprocess.run([R.JAVAC, "-encoding", "UTF-8", "-d", str(classes),
+                    "-cp", cp, f"@{listing}"], check=True, capture_output=True)
+    run_cp = f"{classes}:{R.REFERENCE / 'src' / 'main' / 'resources'}:{cp}"
+
+    def run(cases):
+        import base64
+        payload = "\n".join(
+            base64.b64encode(c[0].encode()).decode() + "\t"
+            + base64.b64encode(c[1].encode()).decode() + "\t"
+            + c[2] + "\t" + ("1" if c[3] else "0")
+            + ("\t1" if len(c) > 4 and c[4] else "")
+            for c in cases)
+        r = subprocess.run([R.JAVA, "-cp", run_cp, "RefProbe"],
+                           input=payload + "\n", capture_output=True,
+                           text=True, check=True)
+        out = [v.split(":")[0] for v in r.stdout.split()]
+        assert len(out) == len(cases)
+        return out
+
+    return run
+
+
+def sweep_verdicts(run, seeds, taa=False):
+    total = mismatches = 0
+    for seed in seeds:
+        for draft in ("draft7", "2019-09", "2020-12"):
+            rng = random.Random(f"sweep-{draft}-{seed}-{taa}")
+            cases, kernels = [], []
+            for _ in range(200):
+                sch = gen.schema(rng, draft, top=True)
+                try:
+                    kernel = compile_schema(sch, config=CompileConfig(
+                        dialect=draft, treat_as_array=taa))
+                except Exception:
+                    continue
+                sj = json.dumps(sch)
+                for _ in range(8):
+                    doc = gen.value(rng)
+                    cases.append((sj, json.dumps(doc), draft, False, taa))
+                    kernels.append((kernel, sch, doc))
+            verdicts = run(cases)
+            for (kernel, sch, doc), got in zip(kernels, verdicts):
+                if got not in ("t", "f"):
+                    continue
+                total += 1
+                mine = "t" if kernel.is_valid(doc) else "f"
+                if mine != got:
+                    mismatches += 1
+                    print("MISMATCH", json.dumps(sch), json.dumps(doc),
+                          "ref:", got, "kernel:", mine)
+    return total, mismatches
+
+
+def sweep_compile(run, seeds):
+    total = mismatches = 0
+    bad_values = [None, True, -1, 0.5, "x", [], {}, [1, 1], ["a", "a"],
+                  {"a": 1}, "   ", 2.0]
+    for seed in seeds:
+        rng = random.Random(f"compile-{seed}")
+        cases = []
+        for _ in range(300):
+            sch = gen.schema(rng, "2020-12", top=True)
+            if not isinstance(sch, dict) or not sch:
+                continue
+            kw = rng.choice(sorted(sch))
+            sch = dict(sch)
+            sch[kw] = rng.choice(bad_values)
+            cases.append(sch)
+        verdicts = run([(json.dumps(s), "1", "2020-12", False) for s in cases])
+        for sch, got in zip(cases, verdicts):
+            if got == "e":
+                continue
+            total += 1
+            try:
+                compile_schema(sch, dialect="2020-12")
+                mine_rejects = False
+            except SchemaCompileError:
+                mine_rejects = True
+            if mine_rejects != (got == "c"):
+                mismatches += 1
+                print("COMPILE-MISMATCH", json.dumps(sch), got,
+                      "kernel-rejects" if mine_rejects else "kernel-accepts")
+    return total, mismatches
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    base = int(sys.argv[2]) if len(sys.argv) > 2 else 20260818
+    seeds = [base + i for i in range(n)]
+    with tempfile.TemporaryDirectory() as tmp:
+        run = build(pathlib.Path(tmp))
+        t1, m1 = sweep_verdicts(run, seeds)
+        print(f"verdicts: {t1} compared, {m1} mismatches")
+        t2, m2 = sweep_verdicts(run, seeds[: max(2, n // 4)], taa=True)
+        print(f"treat-as-array: {t2} compared, {m2} mismatches")
+        t3, m3 = sweep_compile(run, seeds[: max(2, n // 2)])
+        print(f"compile-reject: {t3} compared, {m3} mismatches")
+        total_m = m1 + m2 + m3
+        print(f"TOTAL: {t1 + t2 + t3} comparisons, {total_m} mismatches")
+        sys.exit(1 if total_m else 0)
+
+
+if __name__ == "__main__":
+    main()
