@@ -52,6 +52,12 @@ HEADLINE = [
     "image_features_documents",
     "audio_features_documents",
     "video_features_documents",
+    # round-3 session-2 pipeline operators: the three no-shuffle
+    # codegen projections and the composed corpus-assembly pipeline
+    "pii_scrub_documents",
+    "chunk_chars_documents",
+    "sample_split_documents",
+    "prepare_training_data",
 ]
 
 
