@@ -36,10 +36,11 @@ class SchemaResolutionError(SchemaCompileError):
     reference raises LocatedSchemaCompileException for these too)."""
 
 
-class SchemaDialectError(Exception):
+class SchemaDialectError(SchemaCompileError):
     """A schema's meta-schema requires a vocabulary this engine does not
-    implement — compile-time error, mirroring
-    ``dialects/DialectResolver.java:53-79``."""
+    implement — a species of compile error, mirroring
+    ``dialects/DialectResolver.java:53-79`` (the reference throws its
+    compile exception there too)."""
 
 
 # official vocabulary URIs this engine implements (per dialect
