@@ -13,8 +13,6 @@ from __future__ import annotations
 import json
 import pathlib
 import random
-import shutil
-import subprocess
 import sys
 import tempfile
 
@@ -31,40 +29,12 @@ from json_schema_spark.core.validator import (  # noqa: E402
 
 
 def build(tmp: pathlib.Path):
-    src = tmp / "src"
-    shutil.copytree(R.REFERENCE / "src" / "main" / "java", src)
-    for rel, old, new in R._PATCHES:
-        f = src / rel
-        text = f.read_text(encoding="utf-8")
-        assert old in text, rel
-        f.write_text(text.replace(old, new), encoding="utf-8")
-    classes = tmp / "classes"
-    classes.mkdir()
-    sources = [str(p) for p in src.rglob("*.java")]
-    sources += [str(p) for p in (ROOT / "tests" / "refjava").rglob("*.java")]
-    listing = tmp / "sources.txt"
-    listing.write_text("\n".join(sources))
-    cp = ":".join(R.JACKSON)
-    subprocess.run([R.JAVAC, "-encoding", "UTF-8", "-d", str(classes),
-                    "-cp", cp, f"@{listing}"], check=True, capture_output=True)
-    run_cp = f"{classes}:{R.REFERENCE / 'src' / 'main' / 'resources'}:{cp}"
+    run = R.build_reference_probe(tmp)
 
-    def run(cases):
-        import base64
-        payload = "\n".join(
-            base64.b64encode(c[0].encode()).decode() + "\t"
-            + base64.b64encode(c[1].encode()).decode() + "\t"
-            + c[2] + "\t" + ("1" if c[3] else "0")
-            + ("\t1" if len(c) > 4 and c[4] else "")
-            for c in cases)
-        r = subprocess.run([R.JAVA, "-cp", run_cp, "RefProbe"],
-                           input=payload + "\n", capture_output=True,
-                           text=True, check=True)
-        out = [v.split(":")[0] for v in r.stdout.split()]
-        assert len(out) == len(cases)
-        return out
+    def run_plain(cases):
+        return run(cases)  # verdict-only (kinds stripped by default)
 
-    return run
+    return run_plain
 
 
 def sweep_verdicts(run, seeds, taa=False):

@@ -18,11 +18,11 @@ import pytest
 
 from json_schema_spark.core.validator import compile_schema
 
-# reuse the build fixture + skip conditions
+# reuse the skip conditions; the shared session-scoped `ref`
+# probe fixture lives in conftest.py
 from tests.test_reference_differential import (  # noqa: F401
     JACKSON,
     pytestmark,
-    ref,
 )
 
 B64_SEEDS = ["aGVsbG8=", "aGVsbG8", "aGVs bG8=", "aGVsbG8==", "====",

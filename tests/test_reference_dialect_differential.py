@@ -19,7 +19,6 @@ from json_schema_spark.core.validator import SchemaCompileError, compile_schema
 from tests.test_reference_differential import (  # noqa: F401
     JACKSON,
     pytestmark,
-    ref,
 )
 
 V2020 = "https://json-schema.org/draft/2020-12"

@@ -127,10 +127,10 @@ SUITE = HERE / "suite"
 _DIALECTS = {"draft7": "draft7", "draft2019": "2019-09", "draft2020": "2020-12"}
 
 
-@pytest.fixture(scope="module")
-def ref(tmp_path_factory):
-    """Builds the reference + stub + probe; returns a batch runner."""
-    root = tmp_path_factory.mktemp("refbuild")
+def build_reference_probe(root: pathlib.Path):
+    """Builds the reference + stub + probe; returns a batch runner.
+    Exposed for conftest's session-scoped ``ref`` fixture and
+    scripts/sweep_reference.py."""
     src = root / "src"
     shutil.copytree(REFERENCE / "src" / "main" / "java", src)
     for rel, old, new in _PATCHES:
@@ -169,6 +169,10 @@ def ref(tmp_path_factory):
         return out if kinds else [v.split(":")[0] for v in out]
 
     return run
+
+
+# kept for importers that want the builder directly; the shared fixture
+# lives in conftest.py (session scope — one javac for all modules)
 
 
 def _corpus_cases():

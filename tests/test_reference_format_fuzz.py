@@ -34,11 +34,11 @@ import pytest
 
 from json_schema_spark.functions.formats import FORMAT_VALIDATORS
 
-# reuse the build fixture + skip conditions
+# reuse the skip conditions; the shared session-scoped `ref`
+# probe fixture lives in conftest.py
 from tests.test_reference_differential import (  # noqa: F401
     JACKSON,
     pytestmark,
-    ref,
 )
 
 SEEDS: dict[str, list[str]] = {

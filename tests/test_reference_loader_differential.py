@@ -16,11 +16,11 @@ import pytest
 
 from json_schema_spark.core.validator import compile_schema
 
-# reuse the compiled-reference build fixture + skip conditions
+# reuse the skip conditions; the shared session-scoped `ref`
+# probe fixture lives in conftest.py
 from tests.test_reference_differential import (  # noqa: F401
     JACKSON,
     pytestmark,
-    ref,
 )
 
 DOCS = {
