@@ -148,3 +148,23 @@ def test_multimodal_feature_plan_single_python_stage(spark):
         assert "Exchange" not in plan
         scan = plan[plan.index("ReadSchema"):].splitlines()[0]
         assert "text" not in scan, f"unreferenced column scanned: {scan}"
+
+def test_prepare_training_pipeline_single_dedup_exchange(spark):
+    """The composed corpus-assembly pipeline (dedup -> quality -> lang
+    -> filter -> redact -> split) must shuffle ONLY for the exact-dedup
+    groupBy/semi-join — every other stage is a codegen projection. A
+    second Exchange would mean a stage re-partitioned data it already
+    had co-located; Python anywhere would mean an expression fell off
+    the JVM path."""
+    import __spark_entry__ as E
+
+    df = E.queries()["prepare_training_data"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Python" not in plan and "ArrowEval" not in plan
+    # dedup = one shuffle boundary: the hash-aggregate pair plus the
+    # semi-join back may reuse the same exchange; allow at most the
+    # aggregate + join exchanges, never more
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 3, f"{n_exchange} exchanges:\n{plan[:4000]}"
+    assert "BroadcastExchange" not in plan or plan.count("BroadcastExchange") <= 1
+
