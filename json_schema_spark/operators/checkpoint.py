@@ -35,6 +35,23 @@ class ResumableRun:
     def bucket_of(self) -> F.Column:
         return F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets)).cast("int")
 
+    def _digest_exprs(self, prefix: str = "") -> list[F.Column]:
+        """The (rows, violation_rows, digest_xor64) aggregate expressions
+        — ONE definition shared by the ``run()`` manifest observation and
+        ``_disk_stats()``'s read-back audit, so the two sides of
+        ``reconcile`` can never drift apart."""
+        return [
+            F.count(F.lit(1)).alias(f"{prefix}rows"),
+            F.coalesce(F.sum((~F.col("valid")).cast("long")), F.lit(0)).alias(
+                f"{prefix}violation_rows"
+            ),
+            F.coalesce(
+                F.expr("conv(cast(bit_xor(xxhash64(cast(" + self.key_col +
+                       " as string), cast(valid as string))) as string), 10, 16)"),
+                F.lit("0"),
+            ).alias(f"{prefix}digest_xor64"),
+        ]
+
     def completed_buckets(self, spark: SparkSession) -> set[int]:
         try:
             rows = spark.read.parquet(self.manifest_dir).select("bucket").distinct().collect()
@@ -71,27 +88,29 @@ class ResumableRun:
             # — zero extra passes (the old shape re-read the written
             # parquet and ran a second job per bucket).
             obs = Observation(f"bucket_{b}")
-            out = out.observe(
-                obs,
-                F.count(F.lit(1)).alias("rows"),
-                F.coalesce(F.sum((~F.col("valid")).cast("long")), F.lit(0)).alias(
-                    "violation_rows"
-                ),
-                F.coalesce(
-                    F.expr("conv(cast(bit_xor(xxhash64(cast(" + self.key_col +
-                           " as string), cast(valid as string))) as string), 10, 16)"),
-                    F.lit("0"),
-                ).alias("digest_xor64"),
-            )
+            out = out.observe(obs, *self._digest_exprs())
             # Dynamic partition overwrite: a rerun of a bucket whose
             # data landed but whose manifest append crashed REPLACES the
             # bucket directory instead of appending duplicates — the
             # write is idempotent per bucket, so the manifest always
-            # certifies exactly what is on disk.
-            (out.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("__bucket")
-                .parquet(self.out_dir))
+            # certifies exactly what is on disk. The mode is forced at
+            # the SESSION level for the duration of the write (and
+            # restored after): the per-write option alone is not honored
+            # on every Spark lineage, and a session stuck on STATIC
+            # would silently wipe every completed bucket on resume.
+            conf_key = "spark.sql.sources.partitionOverwriteMode"
+            prev_mode = spark.conf.get(conf_key, None)
+            spark.conf.set(conf_key, "dynamic")
+            try:
+                (out.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__bucket")
+                    .parquet(self.out_dir))
+            finally:
+                if prev_mode is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, prev_mode)
             stats = obs.get
             manifest = spark.createDataFrame(
                 [(b, stats["rows"], stats["violation_rows"], stats["digest_xor64"],
@@ -146,16 +165,7 @@ class ResumableRun:
         return (
             on_disk
             .groupBy(F.col("__bucket").cast("int").alias("bucket"))
-            .agg(
-                F.count(F.lit(1)).alias("disk_rows"),
-                F.coalesce(F.sum((~F.col("valid")).cast("long")), F.lit(0))
-                .alias("disk_violation_rows"),
-                F.coalesce(
-                    F.expr("conv(cast(bit_xor(xxhash64(cast(" + self.key_col +
-                           " as string), cast(valid as string))) as string), 10, 16)"),
-                    F.lit("0"),
-                ).alias("disk_digest_xor64"),
-            )
+            .agg(*self._digest_exprs(prefix="disk_"))
         )
 
     def results(self, spark: SparkSession) -> DataFrame:

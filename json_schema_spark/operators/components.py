@@ -104,6 +104,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     rounds = 0
+    converged = False
     while rounds < max_rounds:
         # eager localCheckpoint: materializes AND truncates lineage —
         # persist() alone leaves the logical plan nesting exponentially
@@ -119,7 +120,21 @@ def connected_components(
         edges = nxt
         rounds += 1
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # exhausting the round budget mid-contraction would silently
+        # return labels that are not yet component minima — surface it
+        # instead of handing back wrong answers (rounds needed grow with
+        # log2 of the largest cluster; 50 covers ~2^50 members)
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge after {max_rounds} rounds; "
+            "labels may not be component minima — raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # stars: src > dst == component min; members are all srcs plus the
     # roots themselves
     labels = edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))

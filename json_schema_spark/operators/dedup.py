@@ -17,37 +17,50 @@ candidates.
 
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-# One cached candidate set per operator call site: the persist is what
-# stops the verify join from recomputing the whole signature pipeline,
-# but a long-lived session (bench best-of-N loops, notebooks) would
-# otherwise accumulate one orphaned cache per invocation until LRU
-# eviction starts thrashing. Swapping releases the previous call's
-# blocks; the returned plan must therefore be consumed before the SAME
-# operator is invoked again (true for every caller in this repo).
-_LAST_PERSISTED: dict[str, DataFrame] = {}
+# Bounded per-call-site cache of persisted candidate sets: the persist
+# is what stops the verify join from recomputing the whole signature
+# pipeline, but a long-lived session (bench best-of-N loops, notebooks)
+# would otherwise accumulate one orphaned cache per invocation until
+# LRU eviction starts thrashing. Keeping a few slots per call site (not
+# one) means interleaved invocations of the SAME operator over
+# different inputs no longer evict each other's cache before it is
+# consumed (round-3 ADVICE); only the oldest plan past the slot bound
+# is unpersisted. A lock makes the bookkeeping safe under concurrent
+# driver threads (Spark jobs themselves are thread-safe).
+_PERSIST_SLOTS = 4
+_PERSIST_LOCK = threading.Lock()
+_LAST_PERSISTED: dict[str, OrderedDict[int, DataFrame]] = {}
 
 
 def _persist_swap(key: str, df: DataFrame) -> DataFrame:
-    prev = _LAST_PERSISTED.pop(key, None)
-    if prev is not None:
-        try:
-            if prev.sameSemantics(df):
-                # identical plan (warm re-run of the same query): keep
-                # the entry — the CacheManager would dedupe the persist
-                # anyway, and unpersisting first would throw away the
-                # warm hit for zero memory benefit
-                _LAST_PERSISTED[key] = prev
-                return prev
-            prev.unpersist(False)
-        except Exception:
-            pass
-    out = df.persist()
-    _LAST_PERSISTED[key] = out
-    return out
+    with _PERSIST_LOCK:
+        slot = _LAST_PERSISTED.setdefault(key, OrderedDict())
+        for h, prev in list(slot.items()):
+            try:
+                if prev.sameSemantics(df):
+                    # identical plan (warm re-run of the same query):
+                    # reuse the entry — the CacheManager would dedupe
+                    # the persist anyway, and unpersisting first would
+                    # throw away the warm hit for zero memory benefit
+                    slot.move_to_end(h)
+                    return prev
+            except Exception:
+                pass
+        out = df.persist()
+        slot[id(out)] = out
+        while len(slot) > _PERSIST_SLOTS:
+            _, old = slot.popitem(last=False)
+            try:
+                old.unpersist(False)
+            except Exception:
+                pass
+        return out
 
 __all__ = [
     "normalize_text",
@@ -322,7 +335,8 @@ def minhash_lsh_pairs(
             .groupBy("id").agg(F.collect_set("h").alias("sh"))
         )
     if max_broadcast_pairs is None:
-        # AQE mode (default): no persist/count job. `cand` feeds both
+        # AQE mode (opt-in — the signature default is the size-gated
+        # branch below): no persist/count job. `cand` feeds both
         # the pair join and the distinct-id semi-join through the SAME
         # dropDuplicates exchange — ReuseExchange computes the
         # signature pipeline once; AQE picks broadcast vs shuffle for

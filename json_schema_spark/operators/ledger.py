@@ -101,8 +101,11 @@ def partition_ledger(validated: DataFrame, key_col: str = "row_id",
         # physical partition can carry several logical buckets (they
         # only align after an explicit repartition, which we don't
         # require) — labeling the whole partition with the first id
-        # would lump buckets together. elapsed_ms is the physical
-        # partition's wall clock, attributed to each bucket it carried.
+        # would lump buckets together. The physical partition's wall
+        # clock is APPORTIONED across the buckets it carried by row
+        # share, so SUM(elapsed_ms) over the ledger equals total
+        # partition wall clock (duplicating the full clock onto every
+        # bucket over-counted the sum).
         t0 = time.perf_counter()
         acc: dict[int, list] = {}  # pid -> [rows, valid, viol_rows, viols, lines]
         for pdf in batches:
@@ -122,6 +125,7 @@ def partition_ledger(validated: DataFrame, key_col: str = "row_id",
         if not acc:
             return
         elapsed = (time.perf_counter() - t0) * 1000.0
+        total_rows = sum(st[0] for st in acc.values())
         out = {"partition_id": [], "rows_scanned": [], "valid_rows": [],
                "violation_rows": [], "violations": [], "elapsed_ms": [],
                "violations_sha256": []}
@@ -133,7 +137,7 @@ def partition_ledger(validated: DataFrame, key_col: str = "row_id",
             out["valid_rows"].append(valid_rows)
             out["violation_rows"].append(viol_rows)
             out["violations"].append(viols)
-            out["elapsed_ms"].append(elapsed)
+            out["elapsed_ms"].append(elapsed * rows / total_rows)
             out["violations_sha256"].append(
                 hashlib.sha256("\n".join(lines).encode()).hexdigest())
         yield pd.DataFrame(out)

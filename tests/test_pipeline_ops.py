@@ -481,10 +481,12 @@ def test_ivf_null_and_degenerate_inputs(spark):
         assert [r["centroid_id"] for r in a.collect()] == [None, None]
 
 
-def test_candidate_persist_is_swapped_not_leaked(spark, docs):
-    """Gated-mode LSH verify persists its candidate set; invoking the
-    operator again (bench warm loops) must release the previous call's
-    cached blocks instead of accumulating them for the session's
+def test_candidate_persist_is_bounded_not_leaked(spark, docs):
+    """Gated-mode LSH verify persists its candidate set; the per-call-site
+    cache keeps the last ``_PERSIST_SLOTS`` plans (so interleaved
+    invocations over different inputs don't evict each other before the
+    verify join consumes them — round-3 ADVICE) and releases the oldest
+    beyond that bound instead of accumulating for the session's
     lifetime."""
     from json_schema_spark.operators import dedup as D
 
@@ -495,14 +497,28 @@ def test_candidate_persist_is_swapped_not_leaked(spark, docs):
     D._LAST_PERSISTED.clear()
     docs.count()  # materialize the fixture's own cache BEFORE the baseline
     before = cached_rdd_ids()
-    # two DIFFERENT inputs → two distinct cache entries if leaked (same
-    # input would dedupe in the CacheManager and mask a leak)
+    # DIFFERENT inputs → distinct cache entries (same input would dedupe
+    # in the CacheManager and mask a leak)
     first = D.minhash_lsh_pairs(docs.limit(100), max_broadcast_pairs=10_000)
     first.count()
     first_ids = cached_rdd_ids() - before
     assert first_ids, "gated mode should persist the candidate set"
+    # a second, different invocation must NOT evict the first (interleaved
+    # consumers), only grow the slot
     second = D.minhash_lsh_pairs(docs.limit(120), max_broadcast_pairs=10_000)
     second.count()
-    after_ids = cached_rdd_ids() - before
-    assert not (first_ids & after_ids), "previous call's cache was leaked"
-    assert len(D._LAST_PERSISTED) == 1
+    after_second = cached_rdd_ids() - before
+    assert first_ids <= after_second, \
+        "earlier call's cache was evicted while within the slot bound"
+    # warm re-run of an identical plan reuses the existing entry
+    slot = next(iter(D._LAST_PERSISTED.values()))
+    n_entries = len(slot)
+    again = D.minhash_lsh_pairs(docs.limit(120), max_broadcast_pairs=10_000)
+    again.count()
+    assert len(slot) == n_entries, "identical plan should reuse its slot entry"
+    # past the bound the OLDEST entry is released
+    for i in range(D._PERSIST_SLOTS):
+        D.minhash_lsh_pairs(docs.limit(130 + i), max_broadcast_pairs=10_000).count()
+    final_ids = cached_rdd_ids() - before
+    assert not (first_ids & final_ids), "oldest cache entry was never released"
+    assert all(len(s) <= D._PERSIST_SLOTS for s in D._LAST_PERSISTED.values())
