@@ -112,7 +112,16 @@ def main() -> None:
         return minhash_lsh_pairs(docs, shingle_n=5, num_hashes=64, bands=16,
                                  threshold=0.7, hash_fn="xxhash64")
 
-    EXTRAS = {"minhash_neardup_xx_documents": _xx_minhash}
+    def _salted_flagship(spark, sf_dir):
+        # skew-mitigated layout: repartition(N, repo, salt) over the
+        # Zipf-shaped repo distribution (the largest repo holds ~15% of
+        # rows), then validate + ledger — the plan a cluster runs when
+        # downstream per-repo work follows validation (SURVEY §4.2)
+        return partition_ledger(validate_source_table(
+            spark.read.parquet(src_path), salt_partitions=CPUS * 4))
+
+    EXTRAS = {"minhash_neardup_xx_documents": _xx_minhash,
+              "flagship_salted": _salted_flagship}
 
     for name in HEADLINE:
         t0 = time.perf_counter()

@@ -32,11 +32,33 @@ def flagship_validator() -> SparkValidator:
 
 
 def validate_source_table(df: DataFrame, with_violations: bool = True,
-                          with_sha: bool = True) -> DataFrame:
+                          with_sha: bool = True,
+                          salt_partitions: int | None = None,
+                          salt_buckets: int = 32) -> DataFrame:
     """Adds ``valid``, ``violations`` and the cross-engine per-row
     invariant ``content_sha256`` (input_hint: sha256(content) equality
-    vs the reference)."""
+    vs the reference).
+
+    ``salt_partitions``: opt-in skew-mitigated repartition
+    ``repartition(N, repo, salt)`` (SURVEY §4.2) for the cluster layout
+    where downstream per-repo work (ledger, checkpoint buckets,
+    repo-level aggregates) follows validation: a Zipf-shaped repo
+    distribution pins a mega-repo onto one executor under a plain
+    ``repartition(N, repo)``; the salt — a deterministic hash of the
+    full row key, NOT a random number, so re-runs place rows
+    identically — splits each repo across up to ``salt_buckets``
+    partitions while keeping (repo, salt) co-location for two-phase
+    per-repo combines (measured on the Zipf synthetic at 16 partitions:
+    max/mean rows 3.57 plain vs 1.35 salted at 32 buckets —
+    tests/test_scale_layout.py). Validation itself is row-local, so the default
+    (None) stays the zero-Exchange pure-projection plan."""
     cols = ["repo", "path", "commit", "lang", "content"]
+    if salt_partitions is not None:
+        salt = F.pmod(
+            F.xxhash64(F.col("repo"), F.col("path"), F.col("commit")),
+            F.lit(salt_buckets),
+        )
+        df = df.repartition(salt_partitions, F.col("repo"), salt)
     out = flagship_validator().apply_table(df, columns=cols, with_violations=with_violations)
     if with_sha:
         out = out.withColumn("content_sha256", F.sha2(F.col("content"), 256))

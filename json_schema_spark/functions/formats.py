@@ -509,50 +509,56 @@ def _bidi_ok(labels: list[str]) -> bool:
 
 
 # Joining_Type classifier for the RFC 5892 Appendix A.1/A.2 ZWNJ/ZWJ
-# contextual rules. unicodedata has no Joining_Type API, so this derives
-# it: Transparent = Mn/Me/Cf (DerivedJoiningType's blanket rule); the
-# basic Arabic block gets the exact R/U letter sets from ArabicShaping
-# (public Unicode data); other cursive scripts conservatively treat
-# letters as Dual-joining. Viramas use the exact canonical-combining
-# class 9 test (unicodedata.combining).
-_ARABIC_R = frozenset(
-    [0x0622, 0x0623, 0x0624, 0x0625, 0x0627, 0x0629, 0x062F, 0x0630, 0x0631,
-     0x0632, 0x0648]
-    + list(range(0x0671, 0x0674))       # alef wasla + variants
-    + list(range(0x0675, 0x0678))       # high-hamza alef/waw/yu
-    + list(range(0x0688, 0x069A))       # dal / reh variants
-    + [0x06C0] + list(range(0x06C3, 0x06CC)) + [0x06CD, 0x06CF, 0x06D2, 0x06D3,
-       0x06D5, 0x06EE, 0x06EF]
-)
-_CURSIVE_RANGES = (
-    (0x0600, 0x06FF), (0x0700, 0x074F), (0x0750, 0x077F), (0x07C0, 0x07FF),
-    (0x0840, 0x085F), (0x08A0, 0x08FF), (0x1800, 0x18AF), (0xA840, 0xA87F),
-    (0xFB50, 0xFDFF), (0xFE70, 0xFEFF),
-    (0x10AC0, 0x10AFF), (0x10B80, 0x10BAF), (0x10D00, 0x10D3F),
-    (0x10F30, 0x10F6F), (0x1E900, 0x1E95F),
-)
+# contextual rules, plus the script/virama sets the CONTEXTO rules use.
+# unicodedata has no Joining_Type API; the exact UCD DerivedJoiningType /
+# Scripts / virama (ccc=9) tables live in the generated
+# ``_rfc5892_tables`` module (scripts/dump_rfc5892.py — dumped through
+# the reference's public lookup classes, ``common/unicode/JoinType.java``
+# / ``Scripts.java`` / ``Unicode.java``, replacing the round-3
+# category+cursive-range heuristic).
+from . import _rfc5892_tables as _T5892  # noqa: E402
+
+
+def _range_lookup(table):
+    from bisect import bisect_right
+
+    starts = [a for a, _ in table]
+    ends = [b for _, b in table]
+
+    def contains(cp: int) -> bool:
+        i = bisect_right(starts, cp) - 1
+        return i >= 0 and cp <= ends[i]
+
+    return contains
+
+
+_in_join_t = _range_lookup(_T5892.JOIN_T)
+_in_join_d = _range_lookup(_T5892.JOIN_D)
+_in_join_r = _range_lookup(_T5892.JOIN_R)
+_in_join_l = _range_lookup(_T5892.JOIN_L)
+_is_virama_cp = _range_lookup(_T5892.VIRAMA)
+_in_greek = _range_lookup(_T5892.SC_GREEK)
+_in_hebrew = _range_lookup(_T5892.SC_HEBREW)
+_in_hiragana = _range_lookup(_T5892.SC_HIRAGANA)
+_in_katakana = _range_lookup(_T5892.SC_KATAKANA)
+_in_han = _range_lookup(_T5892.SC_HAN)
+
+
+def _is_virama(ch: str) -> bool:
+    return _is_virama_cp(ord(ch))
 
 
 def _joining_type(ch: str) -> str:
-    import unicodedata as _ud
-
     cp = ord(ch)
-    if cp in (0x200C, 0x200D):
-        return "U"
-    cat = _ud.category(ch)
-    if cat in ("Mn", "Me", "Cf"):
+    if _in_join_t(cp):
         return "T"
-    if 0x0600 <= cp <= 0x06FF:
-        if cp in (0x0621, 0x0674):
-            return "U"  # hamza / high hamza: non-joining
-        if cp in _ARABIC_R:
-            return "R"
-        if cat.startswith("L") or cp == 0x0640:  # letters + tatweel
-            return "D"
-        return "U"
-    if any(lo <= cp <= hi for lo, hi in _CURSIVE_RANGES) and cat.startswith("L"):
-        return "D"  # conservative: other cursive-script letters join both ways
-    return "U"
+    if _in_join_d(cp):
+        return "D"
+    if _in_join_r(cp):
+        return "R"
+    if _in_join_l(cp):
+        return "L"
+    return "U"  # incl. ZWNJ (U) and ZWJ (join-causing, never D/L/R/T)
 
 
 def _zwnj_context_ok(label: str, idx: int) -> bool:
@@ -620,10 +626,10 @@ def _unicode_label_ok(label: str) -> bool:
         elif ch == "\u200c":  # ZWNJ: RFC 5892 Appendix A.1
             if idx == 0:
                 return False
-            if _ud.combining(label[idx - 1]) != 9 and not _zwnj_context_ok(label, idx):
+            if not _is_virama(label[idx - 1]) and not _zwnj_context_ok(label, idx):
                 return False
         elif ch == "\u200d":  # ZWJ: RFC 5892 Appendix A.2 — virama only
-            if idx == 0 or _ud.combining(label[idx - 1]) != 9:
+            if idx == 0 or not _is_virama(label[idx - 1]):
                 return False
         elif ch == "\u0375":  # GREEK LOWER NUMERAL SIGN: Greek follows
             if idx == len(label) - 1 or not _is_greek(label[idx + 1]):
@@ -641,16 +647,16 @@ def _unicode_label_ok(label: str) -> bool:
 
 
 def _is_greek(ch: str) -> bool:
-    return "\u0370" <= ch <= "\u03ff" or "\u1f00" <= ch <= "\u1fff"
+    return _in_greek(ord(ch))
 
 
 def _is_hebrew(ch: str) -> bool:
-    return "\u0590" <= ch <= "\u05ff" or "\ufb1d" <= ch <= "\ufb4f"
+    return _in_hebrew(ord(ch))
 
 
 def _is_jpn_han(ch: str) -> bool:
-    return ("\u3040" <= ch <= "\u30ff" or "\u3400" <= ch <= "\u4dbf"
-            or "\u4e00" <= ch <= "\u9fff" or "\uff66" <= ch <= "\uff9d")
+    cp = ord(ch)
+    return _in_hiragana(cp) or _in_katakana(cp) or _in_han(cp)
 
 
 def is_idn_hostname(s: str) -> bool:

@@ -28,7 +28,8 @@ import math
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-__all__ = ["source_code_table", "repos_dim", "LANGS", "N_REPOS", "N_ORGS", "ORPHAN_REPO_IDS"]
+__all__ = ["source_code_table", "write_source_table", "repos_dim",
+           "LANGS", "N_REPOS", "N_ORGS", "ORPHAN_REPO_IDS"]
 
 LANGS = ["python", "java", "scala", "sql", "markdown", "json", "yaml", "other"]
 _EXT = {"python": "py", "java": "java", "scala": "scala", "sql": "sql",
@@ -145,6 +146,31 @@ def source_code_table(
         lang.alias("lang"),
         content.alias("content"),
     )
+
+
+def write_source_table(
+    spark: SparkSession,
+    path: str,
+    rows: int,
+    seed: int = 42,
+    plant: bool = True,
+    drift: bool = False,
+    partition_by: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Materialize the synthetic source table with the PRODUCTION
+    LAYOUT the north rule assumes: hive/Iceberg-style partitioning on
+    the low-cardinality filter column (``lang``), so a lang-filtered
+    validation prunes whole partition directories at the scan
+    (``PartitionFilters`` in the plan, untouched files never opened).
+    At the 10^12-file target this layout is the difference between
+    scanning 100 TB and scanning one language's slice; the Iceberg
+    catalog adds snapshot/manifest metadata on top of exactly this
+    partition shape (the Iceberg runtime jar is absent in this
+    container, so hive-partitioned parquet stands in — same pruning
+    semantics, same directory layout). Returns the reader DataFrame."""
+    source_code_table(spark, rows, seed=seed, plant=plant, drift=drift) \
+        .write.partitionBy(*partition_by).mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def repos_dim(spark: SparkSession, include_orphans: bool = False) -> DataFrame:

@@ -63,6 +63,31 @@ def test_ivf_assignment_no_corpus_exchange(spark):
     assert "Python" not in plan
 
 
+def test_embedding_gemm_sketch_zero_corpus_exchange(spark):
+    """Past the dim×bands×planes unroll threshold the sign sketch is ONE
+    Arrow-batched gemm over the scan: exactly one Python stage and ZERO
+    Exchange between the corpus scan and the (id, band, bucket) banding
+    output (the decimal path pays a groupBy(id) Exchange; at dim 768+
+    it would also carry ~74k plane literals — round-3 "What's wrong #3")."""
+    dim, bands, planes = 768, 8, 12
+    emb = spark.range(50).select(
+        F.col("id"),
+        F.array(*[
+            ((F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(101)) - 50)
+             / 50.0).cast("double")
+            for j in range(dim)
+        ]).alias("cv"),
+    )
+    sk = D._sketch_buckets_udf(seed=42, bands=bands, planes=planes, dim=dim)
+    banded = emb.select("id", F.posexplode(sk(F.col("cv"))).alias("band", "bucket"))
+    plan = _plan(banded)
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    # and it actually executes: 8 bucket strings of 12 bits per vector
+    r = banded.groupBy("id").count().collect()
+    assert all(row["count"] == bands for row in r)
+
+
 def test_minhash_corpus_side_never_broadcast(spark, src):
     pairs = D.minhash_lsh_pairs(
         src.select("row_id", F.col("content").alias("text")),
