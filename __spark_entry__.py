@@ -260,8 +260,15 @@ def _q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline exact n-gram Jaccard = the AllPairs prefix-filtered
+    plan (round-3 verdict: the plain inverted-index headline was the
+    one remaining perf-weak query — its prefix twin IS the scale path,
+    with identical results, so it is now the headline). The
+    inverted-index formulation stays oracle-gated as
+    ``ngram_jaccard_exact_documents`` to prove the equality."""
     pairs = D.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.7, word_grams=True
+        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.7,
+        word_grams=True, prefix_filter=True,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -414,15 +421,13 @@ def _q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CC.dedup_keep_canonical(docs, pairs).select("doc_id")
 
 
-def _q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale path of exact n-gram Jaccard: AllPairs prefix
-    filtering (rarest-token prefixes generate candidates, full-set
-    verify) — IDENTICAL results to the inverted-index join, gated by
-    the same oracle, but hot shingles never enter the candidate
-    self-join (the plain path is O(sum posting^2) on Zipf corpora)."""
+def _q_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plain inverted-index formulation of exact n-gram Jaccard —
+    O(sum posting^2) on Zipf corpora, so it is NOT the scale path; it
+    stays oracle-gated purely to prove the prefix-filtered headline
+    (AllPairs/SSJoin, Bayardo WWW'07) returns IDENTICAL results."""
     pairs = D.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.7,
-        word_grams=True, prefix_filter=True,
+        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.7, word_grams=True
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -726,7 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_orders_totalprice": _q_ks,
         "dedup_keep_first_documents": _q_dedup_keep_first,
         "ngram_jaccard_documents": _q_ngram_jaccard,
-        "ngram_jaccard_prefix_documents": _q_ngram_jaccard_prefix,
+        "ngram_jaccard_exact_documents": _q_ngram_jaccard_exact,
         "minhash_neardup_documents": _q_minhash_neardup,
         "neardup_clusters_documents": _q_neardup_clusters,
         "dedup_keep_canonical_documents": _q_dedup_keep_canonical,
@@ -1463,7 +1468,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard
             FROM co WHERE inter / (na + nb - inter) >= 0.7
         """ for k in ("ngram_jaccard_documents",
-                      "ngram_jaccard_prefix_documents")},
+                      "ngram_jaccard_exact_documents")},
         "ann_topk_embeddings": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 10),

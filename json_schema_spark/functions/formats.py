@@ -573,10 +573,8 @@ def _zwnj_context_ok(label: str, idx: int) -> bool:
 
 _IDN_DOT = re.compile("[.\u3002\uff0e\uff61]")
 
-# CONTEXTO code points that survive the category filter only to be
-# checked positionally (RFC 5892 Appendix A; the reference's
-# CONTEXTUAL_RULES table, HostnameValidator.java:19-31)
-_CONTEXTO_EXEMPT = frozenset("\u0375")
+_idna_disallowed = _range_lookup(_T5892.IDNA_DISALLOWED)
+_idna_unassigned = _range_lookup(_T5892.UNASSIGNED)
 
 
 def _unicode_label_ok(label: str) -> bool:
@@ -585,8 +583,11 @@ def _unicode_label_ok(label: str) -> bool:
     ``HostnameValidator.java:175-207``): hyphen rules, leading-mark
     rejection, NFC requirement (RFC 5891 §4.2.3.1 — stricter than the
     reference, which relies on its derived-property tables alone),
-    IDNA2008 derived-property approximation, RFC 5892 contextual rules
-    with joining types."""
+    the exact IDNA2008 derived-property tables (``_rfc5892_tables``:
+    unassigned / DISALLOWED, dumped through the reference's
+    ``IDNA.java`` + the JVM's ``Character.isDefined`` — replacing the
+    round-3 NFKC+category approximation), and the RFC 5892 contextual
+    rules with exact joining types."""
     import unicodedata as _ud
 
     if not label or not _hyphens_ok(label):
@@ -598,24 +599,10 @@ def _unicode_label_ok(label: str) -> bool:
     if len(label) >= 4 and label[2] == "-" and label[3] == "-":
         return False  # hyphens in positions 3-4 (RFC 5891 §4.2.3.1)
     for ch in label:
-        if ch.isascii():
-            # lowercase-only: IDNA2008 derived property DISALLOWS
-            # uppercase (reference-fuzz: "BÜCHER.DE" invalid; the
-            # all-ASCII hostname path stays case-insensitive)
-            if not ("a" <= ch <= "z" or "0" <= ch <= "9" or ch == "-"):
-                return False
-            continue
-        if ch in ("\u200c", "\u200d") or ch in _CONTEXTO_EXEMPT:
-            continue  # positionally validated below
-        if _ud.normalize("NFKC", ch) != ch:
-            # compatibility-decomposable (e.g. U+2488) — DISALLOWED by
-            # the IDNA2008 derived property
-            return False
-        if _ud.category(ch) in ("Cc", "Cf", "Co", "Cn", "Zs", "Zl", "Zp",
-                                "So", "Sk", "Sm", "Sc", "No",
-                                # uppercase/titlecase letters: DISALLOWED
-                                # (only the casefolded forms are PVALID)
-                                "Lu", "Lt"):
+        cp = ord(ch)
+        # RFC 5891 §4.2.2: unassigned or DISALLOWED rejects; CONTEXTO /
+        # CONTEXTJ members are positionally validated below
+        if _idna_unassigned(cp) or _idna_disallowed(cp):
             return False
     for idx, ch in enumerate(label):
         if ch == "\u00b7":  # MIDDLE DOT needs l·l context

@@ -93,50 +93,156 @@ __all__ = [
 # candidate COUNT from a pathological bucket (e.g. near-empty documents
 # sharing one band signature) at the 10^12-doc target.
 _HOT_BUCKET_STATS: dict[str, dict] = {}
+# op -> {'obs': Observation, 'cap': int, 'key': Optional[int]} where key
+# is the consuming plan's semanticHash (attached by the operator once
+# the candidate frame exists)
+_HOT_BUCKET_PENDING: dict[str, dict] = {}
+# (op, consumer-plan semanticHash) -> stats. A warm re-run whose persist
+# is deduped onto an earlier IDENTICAL plan never fires its own
+# Observation; this lets it recover that identical plan's (identical)
+# stats without trusting the per-op slot, which an interleaved
+# different-input run of the same op may have overwritten.
+_HOT_BUCKET_BY_KEY: "OrderedDict[tuple, dict]" = OrderedDict()
+_HOT_BUCKET_BY_KEY_SLOTS = 16
 
 
-def hot_bucket_stats(op: str) -> Optional[dict]:
+def _resolve_hot_bucket_stats(op: str, timeout: float,
+                              key: Optional[int] = None,
+                              dead: bool = False) -> Optional[dict]:
+    """Resolve pending observe metrics for ``op``. ``key`` is the
+    semanticHash of the plan the operator's action ran (lets warm
+    re-runs recover the identical earlier plan's stats); ``dead=True``
+    declares the pending Observation can never fire (its plan was
+    deduped onto a cached twin), so it is discarded after the BY_KEY
+    lookup instead of left to block a later reader."""
+    pending = _HOT_BUCKET_PENDING.get(op)
+    if pending is None:
+        return None
+    obs, cap = pending["obs"], pending["cap"]
+    if key is not None:
+        pending["key"] = key
+    else:
+        key = pending.get("key")
+    out: dict = {}
+
+    def _read():
+        try:
+            out.update(obs.get)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=_read, daemon=True)
+    t.start()
+    t.join(timeout)
+    if not out:
+        if key is not None:
+            prev = _HOT_BUCKET_BY_KEY.get((op, key))
+            if prev is not None and prev["cap"] == cap:
+                _HOT_BUCKET_BY_KEY.move_to_end((op, key))
+                _HOT_BUCKET_STATS[op] = prev
+                del _HOT_BUCKET_PENDING[op]
+                return prev
+        if dead:
+            # deduped-plan Observation with no recorded twin stats
+            # (e.g. the earlier identical run predates this process's
+            # stats registry): drop it loudly rather than let a later
+            # hot_bucket_stats() block on a future that never completes
+            _LOG.warning(
+                "%s: hot-bucket drop metrics unavailable for this warm "
+                "re-run (plan deduped onto an earlier cache, no recorded "
+                "stats for it)", op)
+            del _HOT_BUCKET_PENDING[op]
+        return None
+    stats = {
+        "cap": cap,
+        "dropped_buckets": int(round(out.get("__hb_buckets") or 0.0)),
+        "dropped_member_rows": int(out.get("__hb_rows") or 0),
+    }
+    _HOT_BUCKET_STATS[op] = stats
+    if key is not None:
+        _HOT_BUCKET_BY_KEY[(op, key)] = stats
+        while len(_HOT_BUCKET_BY_KEY) > _HOT_BUCKET_BY_KEY_SLOTS:
+            _HOT_BUCKET_BY_KEY.popitem(last=False)
+    del _HOT_BUCKET_PENDING[op]
+    if stats["dropped_buckets"]:
+        _LOG.warning(
+            "%s: dropped %d hot bucket(s) (> %d members, %d member rows "
+            "total) before the bucket self-join — pairs within these "
+            "buckets are NOT generated; raise max_bucket_size (or pass "
+            "None) to include them",
+            op, stats["dropped_buckets"], cap, stats["dropped_member_rows"])
+    return stats
+
+
+def hot_bucket_stats(op: str, timeout: float = 30.0) -> Optional[dict]:
     """Drop metrics from the most recent hot-bucket cap for operator
     ``op`` (``'minhash_lsh'``, ``'ngram_prefix'``, ``'embedding_lsh'``):
-    ``{'cap', 'dropped_buckets', 'dropped_member_rows'}``, or None if
-    the operator has not run with a cap in this session."""
+    ``{'cap', 'dropped_buckets', 'dropped_member_rows'}``. The metrics
+    ride the operator's own execution (``DataFrame.observe`` — no extra
+    job); they become available once any action has run the plan.
+    Returns None if the operator has not run with a cap, or if no
+    action has executed it yet (waits up to ``timeout`` seconds).
+
+    Staleness contract: stats describe the most recent capped run of
+    ``op`` whose metrics were recorded. A warm re-run that
+    ``_persist_swap`` dedupes onto an earlier identical plan reports
+    that identical plan's (identical) stats via a plan-hash keyed
+    registry — an interleaved different-input run of the same op cannot
+    leak its numbers into the re-run. Read the stats before issuing the
+    next capped run if you need per-run attribution."""
+    if op in _HOT_BUCKET_PENDING:
+        resolved = _resolve_hot_bucket_stats(op, timeout)
+        if resolved is not None:
+            return resolved
     return _HOT_BUCKET_STATS.get(op)
 
 
 def _cap_hot_buckets(banded: DataFrame, keys: Sequence[str],
                      cap: Optional[int], op: str) -> DataFrame:
-    """Drop every member of a bucket larger than ``cap`` BEFORE the
-    bucket self-join, with a surfaced drop metric (logged warning +
-    :func:`hot_bucket_stats`) — no silent truncation.
+    """Returns a copy of ``banded`` with members of buckets larger than
+    ``cap`` removed, for use as ONE side of the bucket self-join, with a
+    surfaced drop metric (:func:`hot_bucket_stats` + logged warning) —
+    no silent truncation.
 
     Rationale: LSH candidate generation is quadratic per bucket. A cap
     bounds worst-case candidates at cap²/2 per bucket regardless of
     corpus size; recall loss is explicit (dropped members can never
-    pair) and observable. The slim banded frame (ids + bucket keys
-    only) is persisted so the size scan and the self-join share one
-    materialization; in the common no-hot-bucket case the frame is
-    returned unchanged (zero extra joins). ``cap=None`` disables the
-    guard and the extra count job entirely."""
+    pair) and observable. Filtering ONE join side suffices: a candidate
+    pair needs BOTH rows in the same bucket, so an empty a-side kills
+    every pair of a hot bucket while non-hot buckets are untouched —
+    and the other side stays the raw banded frame (no double work).
+
+    Cost discipline (round-4 regression lesson): the guard is LAZY —
+    a window count over the bucket key (the same key the self-join
+    shuffles on, so the exchange is shared) plus a ``observe`` metric
+    node; NO extra Spark job, NO persist. The drop metrics materialize
+    with the operator's own first action (the candidate count in the
+    size-gated paths) and are read via :func:`hot_bucket_stats`.
+    ``cap=None`` disables the guard entirely."""
     if cap is None:
         return banded
-    banded = _persist_swap(f"{op}_banded", banded)
-    sizes = banded.groupBy(*list(keys)).agg(F.count(F.lit(1)).alias("__bs"))
-    hot = sizes.filter(F.col("__bs") > cap)
-    row = hot.agg(
-        F.count(F.lit(1)).alias("buckets"),
-        F.coalesce(F.sum("__bs"), F.lit(0)).alias("rows"),
-    ).first()
-    stats = {"cap": cap, "dropped_buckets": int(row["buckets"]),
-             "dropped_member_rows": int(row["rows"])}
-    _HOT_BUCKET_STATS[op] = stats
-    if stats["dropped_buckets"] == 0:
-        return banded
-    _LOG.warning(
-        "%s: dropping %d hot bucket(s) (> %d members, %d member rows total) "
-        "before the bucket self-join — pairs within these buckets are NOT "
-        "generated; raise max_bucket_size (or pass None) to include them",
-        op, stats["dropped_buckets"], cap, stats["dropped_member_rows"])
-    return banded.join(F.broadcast(hot.select(*list(keys))), list(keys), "left_anti")
+    from pyspark.sql import Observation, Window as _W
+
+    sized = banded.withColumn(
+        "__bs", F.count(F.lit(1)).over(_W.partitionBy(*list(keys))))
+    # deterministic name: a random per-call name would make otherwise
+    # identical plans differ (CollectMetrics is part of the canonical
+    # plan), defeating sameSemantics persist reuse AND CacheManager
+    # dedup on warm re-runs
+    obs = Observation(f"__hot_buckets_{op}")
+    observed = sized.observe(
+        obs,
+        F.coalesce(F.sum(F.when(F.col("__bs") > cap, F.lit(1))), F.lit(0))
+        .alias("__hb_rows"),
+        # each member of a hot bucket of size k contributes 1/k — the
+        # per-bucket contributions sum to exactly 1.0, so this totals
+        # the DISTINCT hot-bucket count without a second aggregate
+        F.coalesce(F.sum(F.when(F.col("__bs") > cap,
+                                F.lit(1.0) / F.col("__bs"))), F.lit(0.0))
+        .alias("__hb_buckets"),
+    )
+    _HOT_BUCKET_PENDING[op] = {"obs": obs, "cap": cap, "key": None}
+    return observed.filter(F.col("__bs") <= cap).drop("__bs")
 
 
 def normalize_text(col) -> F.Column:
@@ -357,8 +463,10 @@ def minhash_lsh_pairs(
             ])
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    banded = _cap_hot_buckets(banded, ["band", "bh"], max_bucket_size, "minhash_lsh")
-    a = banded.alias("a")
+    # one-sided guard: a pair needs BOTH rows in the same bucket, so
+    # filtering the a-side alone removes every hot-bucket pair
+    a = _cap_hot_buckets(banded, ["band", "bh"], max_bucket_size,
+                         "minhash_lsh").alias("a")
     b = banded.alias("b")
     # dropDuplicates BEFORE the join back: a pair colliding in k bands
     # would otherwise ride the verify join k times
@@ -416,8 +524,16 @@ def minhash_lsh_pairs(
         cand_docs = docs.join(ids, "id", "left_semi")
         joined = hashed_shingles(cand_docs).join(melted, "id")
     else:
-        cand = _persist_swap("minhash_verify", cand)
+        cached = _persist_swap("minhash_verify", cand)
+        reused, cand = cached is not cand, cached
         n_pairs = cand.count()
+        if max_bucket_size is not None:
+            # warm re-run deduped onto an earlier identical plan: this
+            # call's Observation never fires — recover that plan's
+            # recorded stats by plan hash instead of waiting on it
+            _resolve_hot_bucket_stats(
+                "minhash_lsh", timeout=0.0 if reused else 10.0,
+                key=cand.semanticHash(), dead=reused)
         melted = cand.select(
             "id_a", "id_b",
             F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"))
@@ -527,13 +643,25 @@ def ngram_jaccard_pairs(
         .filter(F.col("r") <= plen)
         .select("id", "g")
     )
-    pref = _cap_hot_buckets(pref, ["g"], max_bucket_size, "ngram_prefix")
-    a, b = pref.alias("a"), pref.alias("b")
+    a = _cap_hot_buckets(pref, ["g"], max_bucket_size, "ngram_prefix").alias("a")
+    b = pref.alias("b")
     cand = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    if max_bucket_size is not None:
+        # materialize the slim candidate set so (1) the guard's observe
+        # metrics complete on THIS action (the final query's AQE replan
+        # can empty-propagate the observed subtree away and lose them)
+        # and (2) the two downstream consumers of `melted` read the
+        # cache instead of recomputing the posting pipeline
+        cached = _persist_swap("ngram_prefix_cand", cand)
+        reused, cand = cached is not cand, cached
+        cand.count()
+        _resolve_hot_bucket_stats(
+            "ngram_prefix", timeout=0.0 if reused else 10.0,
+            key=cand.semanticHash(), dead=reused)
     melted = cand.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id"))
     sets = base.select("id", "sh").join(melted.select("id").distinct(), "id", "left_semi")
@@ -835,9 +963,9 @@ def embedding_neardup_pairs(
         sk = _sketch_buckets_udf(seed, bands, planes, dim)
         banded = c.select(
             "id", F.posexplode(sk(F.col("cv"))).alias("band", "bucket"))
-    banded = _cap_hot_buckets(banded, ["band", "bucket"], max_bucket_size,
-                              "embedding_lsh")
-    a, b_ = banded.alias("a"), banded.alias("b")
+    a = _cap_hot_buckets(banded, ["band", "bucket"], max_bucket_size,
+                         "embedding_lsh").alias("a")
+    b_ = banded.alias("b")
     cand = (
         a.join(b_, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
@@ -845,8 +973,13 @@ def embedding_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    cand = _persist_swap("embedding_verify", cand)
+    cached = _persist_swap("embedding_verify", cand)
+    reused, cand = cached is not cand, cached
     n_pairs = cand.count()
+    if max_bucket_size is not None:
+        _resolve_hot_bucket_stats(
+            "embedding_lsh", timeout=0.0 if reused else 10.0,
+            key=cand.semanticHash(), dead=reused)
     melted = cand.select(
         "id_a", "id_b", F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id")
     )

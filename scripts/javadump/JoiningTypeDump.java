@@ -51,5 +51,12 @@ public class JoiningTypeDump {
         dump("VIRAMA", Unicode::isVirama);
         for (Scripts.EScript s : Scripts.EScript.values())
             dump("SC_" + s.name(), cp -> Scripts.isInScript(s, cp));
+        // IDNA2008 derived-property sets (UCD IdnaMappingTable-derived):
+        // per-char U-label admission is assigned && !DISALLOWED, with
+        // CONTEXTO/CONTEXTJ members additionally position-checked
+        dump("IDNA_DISALLOWED", io.github.georgeakulov.json_schema.common.unicode.IDNA::isDisallowed);
+        dump("IDNA_CONTEXTO", io.github.georgeakulov.json_schema.common.unicode.IDNA::isContexto);
+        dump("IDNA_CONTEXTJ", io.github.georgeakulov.json_schema.common.unicode.IDNA::isContextj);
+        dump("UNASSIGNED", cp -> !Character.isDefined(cp));
     }
 }

@@ -144,3 +144,26 @@ def test_embedding_gemm_production_dim(spark):
     got = {(p["id_a"], p["id_b"]) for p in pairs.collect()}
     for i in range(3):
         assert (i, i + 100_000) in got
+
+
+def test_hot_bucket_stats_survive_warm_rerun(spark):
+    """A warm re-run of an IDENTICAL capped query is deduped onto the
+    earlier plan by _persist_swap / the CacheManager, so this call's
+    Observation never fires — stats must still resolve (to the earlier
+    identical plan's values) without blocking for the full timeout."""
+    import time
+
+    from json_schema_spark.operators import dedup as D
+
+    docs = _degenerate_docs(spark)
+    first = minhash_lsh_pairs(docs, threshold=0.7, max_bucket_size=50)
+    first.count()
+    s1 = hot_bucket_stats("minhash_lsh")
+    assert s1 is not None and s1["dropped_buckets"] >= 1
+    again = minhash_lsh_pairs(docs, threshold=0.7, max_bucket_size=50)
+    again.count()
+    t0 = time.monotonic()
+    s2 = hot_bucket_stats("minhash_lsh", timeout=30.0)
+    assert time.monotonic() - t0 < 15.0, "stats blocked on a dead Observation"
+    assert s2 == s1
+    assert "minhash_lsh" not in D._HOT_BUCKET_PENDING
