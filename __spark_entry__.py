@@ -277,10 +277,10 @@ def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL MinHash-LSH pipeline (signatures -> banding -> candidate
     join -> exact-Jaccard verify) under the driver's oracle gate.
 
-    The headline hash is ``sha_universal`` (round-3 verdict "What's
-    wrong #2"): a sha256-derived 31-bit shingle hash + universal
-    (a*h+b) mod 2^31-1 mixing, band keys joined on the raw
-    signature-slice string — all of which DuckDB replicates bit-for-bit
+    The headline hash is ``universal`` (round-3 verdict "What's
+    wrong #2"): a Horner code-point-polynomial 31-bit shingle hash +
+    universal (a*h+b) mod 2^31-1 mixing (sha256-derived driver-side
+    constants), band keys joined on the raw signature-slice string — all of which DuckDB replicates bit-for-bit
     (``_minhash_sha_oracle_sql``), so the ENTIRE pipeline is
     hash-gated, not rows-only. ``hash_fn='xxhash64'`` remains the
     library fast path (one JVM hash per shingle instead of a sha256);
@@ -291,7 +291,7 @@ def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text", F.coalesce("text", F.lit("")))
     pairs = D.minhash_lsh_pairs(
         docs, shingle_n=5, num_hashes=64, bands=16, threshold=0.7,
-        hash_fn="sha_universal",
+        hash_fn="universal",
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -403,7 +403,7 @@ def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text", F.coalesce("text", F.lit("")))
     pairs = D.minhash_lsh_pairs(
         docs, shingle_n=5, num_hashes=64, bands=16, threshold=0.7,
-        hash_fn="sha_universal",
+        hash_fn="universal",
     )
     return CC.connected_components(pairs)
 
@@ -416,7 +416,7 @@ def _q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text", F.coalesce("text", F.lit("")))
     pairs = D.minhash_lsh_pairs(
         docs, shingle_n=5, num_hashes=64, bands=16, threshold=0.7,
-        hash_fn="sha_universal",
+        hash_fn="universal",
     )
     return CC.dedup_keep_canonical(docs, pairs).select("doc_id")
 
@@ -783,21 +783,24 @@ def _minhash_oph_oracle_sql(norm: str) -> str:
 
 
 def _minhash_sha_oracle_sql(norm: str) -> str:
-    """DuckDB replica of the ENTIRE sha-universal MinHash-LSH pipeline
+    """DuckDB replica of the ENTIRE universal MinHash-LSH pipeline
     (:func:`operators.dedup.minhash_lsh_pairs` with
-    ``hash_fn='sha_universal'``): 31-bit shingle hash = first 8 sha256
-    hex digits mod 2^31-1, 64 universal-mix minima, 16 band keys as
-    comma-joined signature slices, distinct candidate pairs from band
-    collisions, exact Jaccard over distinct shingle-hash sets."""
+    ``hash_fn='universal'``): 31-bit shingle hash = Horner code-point
+    polynomial (base 31, per-step mod 2^31-1; Spark ``ascii`` and
+    DuckDB ``unicode`` agree on every plane, '' → 0 cased explicitly),
+    64 universal-mix minima, 16 band keys as comma-joined signature
+    slices, distinct candidate pairs from band collisions, exact
+    Jaccard over distinct shingle-hash sets."""
     from json_schema_spark.operators.dedup import (
         MERSENNE31, sha_universal_consts)
 
     p = MERSENNE31
     consts = sha_universal_consts(64, 42)
     horner = "CAST(0 AS BIGINT)"
-    for d in range(8):
-        horner = (f"(({horner}) * 16 + "
-                  f"(strpos('0123456789abcdef', substring(hx, {d + 1}, 1)) - 1))")
+    for k in range(1, 6):
+        cp = (f"(CASE WHEN substring(sh, {k}, 1) = '' THEN 0 "
+              f"ELSE unicode(substring(sh, {k}, 1)) END)")
+        horner = f"((({horner}) * 31 + {cp}) % {p})"
     mins = ", ".join(f"min((h * {a} + {b}) % {p}) AS m{i}"
                      for i, (a, b) in enumerate(consts))
     case_arms = " ".join(
@@ -809,8 +812,8 @@ def _minhash_sha_oracle_sql(norm: str) -> str:
         WITH t AS (SELECT doc_id AS id, {norm} AS nt FROM documents),
         pos AS (SELECT id, nt, unnest(range(1, greatest(length(nt) - 4, 1) + 1)) AS i
                 FROM t),
-        hx8 AS (SELECT id, substring(sha256(substring(nt, i, 5)), 1, 8) AS hx FROM pos),
-        hsh AS (SELECT id, ({horner}) % {p} AS h FROM hx8),
+        shg AS (SELECT id, substring(nt, i, 5) AS sh FROM pos),
+        hsh AS (SELECT id, {horner} AS h FROM shg),
         sig AS (SELECT id, {mins} FROM hsh GROUP BY id),
         band AS (SELECT id, b, CASE b {case_arms} END AS key
                  FROM sig, (SELECT unnest(range(16)) AS b)),

@@ -304,15 +304,26 @@ def char_shingles(col, n: int = 5) -> F.Column:
 MERSENNE31 = 2_147_483_647
 
 
-def _sha31(col) -> F.Column:
-    """31-bit shingle hash reproducible in ANSI SQL: the first 8 hex
-    digits of sha256 as an integer, reduced mod 2^31-1. Used by the
-    ``hash_fn='sha_universal'`` oracle twin — xxhash64 stays the
-    production path (one JVM hash vs a sha256 per shingle)."""
-    return F.pmod(
-        F.conv(F.substring(F.sha2(col, 256), 1, 8), 16, 10).cast("bigint"),
-        F.lit(MERSENNE31),
-    )
+def _poly31(col, n: int) -> F.Column:
+    """31-bit shingle hash reproducible in ANSI SQL: Horner polynomial
+    over the shingle's code points, base 31, reduced mod 2^31-1 at
+    every step (keeps every intermediate < 2^36, BIGINT-safe for any
+    ``n``). Injective on pure-ASCII shingles up to 6 chars (128·31^5 <
+    2^31-1), i.e. collision-free exactly where most shingles live.
+
+    Used by the ``hash_fn='universal'`` oracle-portable path: Spark's
+    ``ascii(substring(sh,k,1))`` and DuckDB's ``unicode(...)`` return
+    the same code point for every plane (verified incl. astral chars),
+    with '' → 0 handled explicitly on the DuckDB side. Replaced the
+    earlier sha256+hex+conv form (round-4): one sha256 + 64-char hex
+    + base-16 conv PER SHINGLE roughly doubled the whole pipeline's
+    cold cost vs xxhash64; the Horner form is plain codegen arithmetic
+    and benches at parity with the xxhash64 fast path."""
+    h = F.lit(0).cast("bigint")
+    for k in range(1, n + 1):
+        u = F.ascii(F.substring(col, k, 1)).cast("bigint")
+        h = F.pmod(h * F.lit(31) + u, F.lit(MERSENNE31))
+    return h
 
 
 def sha_universal_consts(num_hashes: int, seed: int) -> list[tuple[int, int]]:
@@ -356,8 +367,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
             F.sequence(F.lit(1), F.greatest(F.length("t") - (shingle_n - 1), F.lit(1)))
         ).alias("i"),
     )
-    if hash_fn == "sha_universal":
-        posting = exploded.select("id", _sha31(shingle).alias("h"))
+    if hash_fn in ("universal", "sha_universal"):
+        posting = exploded.select("id", _poly31(shingle, int(shingle_n)).alias("h"))
         mins = posting.groupBy("id").agg(
             *[F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE31))).alias(f"m{i}")
               for i, (a, b) in enumerate(sha_universal_consts(num_hashes, seed))]
@@ -397,11 +408,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
-    ``hash_fn='sha_universal'`` swaps every hash for an ANSI-SQL-
-    reproducible one (sha256-derived 31-bit shingle hash + universal
-    (a*h+b) mod 2^31-1 mixing, band key = the raw signature-slice
-    string) so the ENTIRE pipeline — signatures, banding, candidate
-    join, Jaccard verify — can be oracle-paired in DuckDB; xxhash64
+    ``hash_fn='universal'`` (alias ``'sha_universal'``, its pre-round-4
+    name) swaps every hash for an ANSI-SQL-reproducible one (Horner
+    code-point polynomial 31-bit shingle hash + universal (a*h+b) mod
+    2^31-1 mixing with sha256-derived driver-side constants, band key =
+    the raw signature-slice string) so the ENTIRE pipeline —
+    signatures, banding, candidate join, Jaccard verify — can be
+    oracle-paired in DuckDB at xxhash64-parity cost; xxhash64
     remains the production path (one JVM hash per shingle).
 
     Plan shape (scale-critical): signature+bands computed in one narrow
@@ -450,9 +463,9 @@ def minhash_lsh_pairs(
         key = F.concat_ws(",", F.transform(
             F.slice("sig", b * rows_per_band + 1, rows_per_band),
             lambda x: x.cast("string")))
-        # sha mode joins on the raw slice string (SQL-reproducible);
-        # production hashes it down to one long per band.
-        return key if hash_fn == "sha_universal" else F.xxhash64(key)
+        # universal mode joins on the raw slice string (SQL-
+        # reproducible); production hashes it down to one long per band.
+        return key if hash_fn in ("universal", "sha_universal") else F.xxhash64(key)
 
     banded = sigs.select(
         "id",
@@ -502,8 +515,8 @@ def minhash_lsh_pairs(
                 "__t",
             )
             .select("id", (
-                _sha31(F.expr(f"substring(__t, i, {int(shingle_n)})"))
-                if hash_fn == "sha_universal"
+                _poly31(F.expr(f"substring(__t, i, {int(shingle_n)})"), int(shingle_n))
+                if hash_fn in ("universal", "sha_universal")
                 else F.xxhash64(
                     F.expr(f"substring(__t, i, {int(shingle_n)})"), F.lit(seed))
             ).alias("h"))
