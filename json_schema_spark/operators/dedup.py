@@ -326,6 +326,76 @@ def _poly31(col, n: int) -> F.Column:
     return h
 
 
+def _persist_evict(key: str) -> None:
+    """Unpersist every cache slot under ``key`` (removes the entries
+    from Spark's CacheManager, so plan substitution can no longer pick
+    them up)."""
+    with _PERSIST_LOCK:
+        slot = _LAST_PERSISTED.pop(key, None)
+        if slot:
+            for df in slot.values():
+                try:
+                    df.unpersist(False)
+                except Exception:
+                    pass
+
+
+def _attach_pair_sets(sets: DataFrame, cand: DataFrame, mode: str,
+                      set_col: str, out_a: str, out_b: str,
+                      persist_key: Optional[str] = None) -> DataFrame:
+    """Attach each candidate document's set/vector column to its
+    candidate pairs, yielding ``(id_a, id_b, out_a, out_b)`` rows, via
+    TWO equi-joins (on ``id_a``, then ``id_b``).
+
+    This replaces the earlier melt + ``groupBy(id_a, id_b).agg(
+    first(when(...)))`` form (round 4): an aggregate whose buffer is
+    array-typed cannot hash-aggregate, so Catalyst silently falls back
+    to **SortAggregate** — an exchange carrying TWO array rows per pair
+    plus a sort on each side of it (measured as the dominant cost of
+    the MinHash verify stage at sf0.1). The join form moves each pair
+    through at most ONE exchange with a single array attached and
+    never sorts.
+
+    ``sets`` must be ``(id, <set_col>)`` and SHOULD already be
+    restricted to candidate documents: it is consumed twice (once per
+    side), so ``persist_key`` caches it through :func:`_persist_swap`
+    — measured, ReuseExchange does NOT dedupe the two sides' aggregate
+    exchanges (they materialize as two concurrent identical stages),
+    and the cache is bounded by the candidate-doc count, which the
+    pair gate / hot-bucket caps already bound.
+
+    ``mode``: ``'broadcast'`` broadcasts the slim pair set into join 1
+    (zero exchange on the ``sets`` stream) and shuffle-hash-joins
+    join 2; ``'shuffle_hash'`` hints both joins (slim build sides,
+    disk-backed, no unbounded driver build); ``'aqe'`` leaves the
+    strategy to AQE's runtime sizes.
+    """
+    if persist_key is not None:
+        # the mode is part of the key: sameSemantics canonicalization
+        # strips join-strategy hints, so a broadcast-mode cached plan
+        # would otherwise be "identical" to a shuffle-mode request and
+        # resurrect a broadcast of the id set past the size gate
+        if mode != "broadcast":
+            # and the gate must actually win: CacheManager substitution
+            # is equally hint-blind, so an earlier broadcast-flavored
+            # cache of these sets would be spliced into this plan even
+            # under a different key — evict it (the reverse direction,
+            # a shuffle-flavored cache serving a broadcast-gated run,
+            # is safe and kept)
+            _persist_evict(f"{persist_key}:broadcast")
+        sets = _persist_swap(f"{persist_key}:{mode}", sets)
+    sa = sets.select(F.col("id").alias("id_a"), F.col(set_col).alias(out_a))
+    sb = sets.select(F.col("id").alias("id_b"), F.col(set_col).alias(out_b))
+    if mode == "broadcast":
+        pa = sa.join(F.broadcast(cand), "id_a")
+        return pa.join(sb.hint("shuffle_hash"), "id_b")
+    if mode == "shuffle_hash":
+        pa = sa.join(cand.hint("shuffle_hash"), "id_a")
+        return pa.join(sb.hint("shuffle_hash"), "id_b")
+    pa = sa.join(cand, "id_a")
+    return pa.join(sb, "id_b")
+
+
 def sha_universal_consts(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     """Driver-side sha256-derived (a_i, b_i) for the classic universal
     hash family g_i(h) = (a_i*h + b_i) mod 2^31-1 — embeddable as
@@ -530,12 +600,12 @@ def minhash_lsh_pairs(
         # signature pipeline once; AQE picks broadcast vs shuffle for
         # each join from the exchange's runtime byte size, bounded by
         # spark.sql.autoBroadcastJoinThreshold.
-        melted = cand.select(
-            "id_a", "id_b",
-            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"))
-        ids = melted.select("id").distinct()
+        ids = cand.select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id")).distinct()
         cand_docs = docs.join(ids, "id", "left_semi")
-        joined = hashed_shingles(cand_docs).join(melted, "id")
+        paired = _attach_pair_sets(hashed_shingles(cand_docs), cand, "aqe",
+                                   "sh", "sh_a", "sh_b",
+                                   persist_key="minhash_sets")
     else:
         cached = _persist_swap("minhash_verify", cand)
         reused, cand = cached is not cand, cached
@@ -547,34 +617,31 @@ def minhash_lsh_pairs(
             _resolve_hot_bucket_stats(
                 "minhash_lsh", timeout=0.0 if reused else 10.0,
                 key=cand.semanticHash(), dead=reused)
-        melted = cand.select(
-            "id_a", "id_b",
-            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"))
-        ids = melted.select("id").distinct()
+        ids = cand.select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id")).distinct()
         if n_pairs <= max_broadcast_pairs:
-            # small pair set: broadcast joins — zero corpus shuffle.
-            # Broadcasting the slim side explicitly matters: a chained
-            # .hint('broadcast') attaches to the join RESULT, and
-            # Catalyst's own size estimate of the corpus side is wildly
-            # low.
+            # small pair set: broadcast it — the candidate-doc
+            # restriction and the pair attachment both stream the
+            # corpus with zero exchange. Broadcasting the slim side
+            # explicitly matters: a chained .hint('broadcast') attaches
+            # to the join RESULT, and Catalyst's own size estimate of
+            # the corpus side is wildly low.
             cand_docs = docs.join(F.broadcast(ids), "id", "left_semi")
-            joined = hashed_shingles(cand_docs).join(F.broadcast(melted), "id")
+            paired = _attach_pair_sets(hashed_shingles(cand_docs), cand,
+                                       "broadcast", "sh", "sh_a", "sh_b",
+                                       persist_key="minhash_sets")
         else:
             # large pair set: shuffle-hash joins on id. Both sides
             # exchange, but the rows are slim and the shuffle is
             # disk-backed — no unbounded driver/executor build.
             cand_docs = docs.join(ids.hint("shuffle_hash"), "id", "left_semi")
-            joined = hashed_shingles(cand_docs).join(melted.hint("shuffle_hash"), "id")
-    grouped = joined.groupBy("id_a", "id_b").agg(
-        F.first(F.when(F.col("id") == F.col("id_a"), F.col("sh")),
-                ignorenulls=True).alias("sh_a"),
-        F.first(F.when(F.col("id") == F.col("id_b"), F.col("sh")),
-                ignorenulls=True).alias("sh_b"),
-    )
+            paired = _attach_pair_sets(hashed_shingles(cand_docs), cand,
+                                       "shuffle_hash", "sh", "sh_a", "sh_b",
+                                       persist_key="minhash_sets")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        grouped.withColumn("jaccard", inter / union)
+        paired.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -675,19 +742,14 @@ def ngram_jaccard_pairs(
         _resolve_hot_bucket_stats(
             "ngram_prefix", timeout=0.0 if reused else 10.0,
             key=cand.semanticHash(), dead=reused)
-    melted = cand.select(
-        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id"))
-    sets = base.select("id", "sh").join(melted.select("id").distinct(), "id", "left_semi")
-    grouped = sets.join(melted, "id").groupBy("id_a", "id_b").agg(
-        F.first(F.when(F.col("id") == F.col("id_a"), F.col("sh")),
-                ignorenulls=True).alias("sh_a"),
-        F.first(F.when(F.col("id") == F.col("id_b"), F.col("sh")),
-                ignorenulls=True).alias("sh_b"),
-    )
+    ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
+    sets = base.select("id", "sh").join(ids, "id", "left_semi")
+    paired = _attach_pair_sets(sets, cand, "aqe", "sh", "sh_a", "sh_b",
+                              persist_key="ngram_sets")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        grouped.withColumn("jaccard", inter / union)
+        paired.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -993,22 +1055,21 @@ def embedding_neardup_pairs(
         _resolve_hot_bucket_stats(
             "embedding_lsh", timeout=0.0 if reused else 10.0,
             key=cand.semanticHash(), dead=reused)
-    melted = cand.select(
-        "id_a", "id_b", F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id")
-    )
+    ids = cand.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id")).distinct()
     if n_pairs <= max_broadcast_pairs:
-        joined = c.join(F.broadcast(melted), "id")
+        cand_vecs = c.join(F.broadcast(ids), "id", "left_semi")
+        paired = _attach_pair_sets(cand_vecs, cand, "broadcast",
+                                   "cv", "va", "vb",
+                                   persist_key="embedding_sets")
     else:
-        joined = c.join(melted.hint("shuffle_hash"), "id")
-    pairs = joined.groupBy("id_a", "id_b").agg(
-        F.first(F.when(F.col("id") == F.col("id_a"), F.col("cv")),
-                ignorenulls=True).alias("va"),
-        F.first(F.when(F.col("id") == F.col("id_b"), F.col("cv")),
-                ignorenulls=True).alias("vb"),
-    )
+        cand_vecs = c.join(ids.hint("shuffle_hash"), "id", "left_semi")
+        paired = _attach_pair_sets(cand_vecs, cand, "shuffle_hash",
+                                   "cv", "va", "vb",
+                                   persist_key="embedding_sets")
     cos = _vdot(F.col("va"), F.col("vb")) / (
         F.sqrt(_vdot(F.col("va"), F.col("va"))) * F.sqrt(_vdot(F.col("vb"), F.col("vb"))))
     return (
-        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        paired.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
