@@ -142,6 +142,31 @@ def _resolve_hot_bucket_stats(op: str, timeout: float,
                 _HOT_BUCKET_STATS[op] = prev
                 del _HOT_BUCKET_PENDING[op]
                 return prev
+        sized = pending.get("sized")
+        if sized is not None:
+            # The Observation can be erased by AQE itself: when a
+            # downstream query stage materializes empty, empty-relation
+            # propagation replaces the whole subtree — CollectMetrics
+            # node included — with EmptyRelation in the final plan, and
+            # the listener never reports (reproduced: degenerate-bucket
+            # corpus at 4 shuffle partitions, candidate join legitimately
+            # empty after the cap). Fall back to ONE slim aggregate job
+            # over the pre-observe sized frame (reads the operator's
+            # cached input; pays only when the free observe path lost).
+            try:
+                row = sized.agg(
+                    F.coalesce(F.sum(F.when(F.col("__bs") > cap, F.lit(1))),
+                               F.lit(0)).alias("__hb_rows"),
+                    F.coalesce(F.sum(F.when(F.col("__bs") > cap,
+                                            F.lit(1.0) / F.col("__bs"))),
+                               F.lit(0.0)).alias("__hb_buckets"),
+                ).first()
+                out.update({"__hb_rows": row["__hb_rows"],
+                            "__hb_buckets": row["__hb_buckets"]})
+            except Exception:
+                _LOG.warning("%s: hot-bucket metric recompute failed", op,
+                             exc_info=True)
+    if not out:
         if dead:
             # deduped-plan Observation with no recorded twin stats
             # (e.g. the earlier identical run predates this process's
@@ -215,10 +240,14 @@ def _cap_hot_buckets(banded: DataFrame, keys: Sequence[str],
     Cost discipline (round-4 regression lesson): the guard is LAZY —
     a window count over the bucket key (the same key the self-join
     shuffles on, so the exchange is shared) plus a ``observe`` metric
-    node; NO extra Spark job, NO persist. The drop metrics materialize
-    with the operator's own first action (the candidate count in the
-    size-gated paths) and are read via :func:`hot_bucket_stats`.
-    ``cap=None`` disables the guard entirely."""
+    node; NO extra Spark job, NO persist on the happy path. The drop
+    metrics materialize with the operator's own first action (the
+    candidate count in the size-gated paths) and are read via
+    :func:`hot_bucket_stats`; if AQE empty-propagation erased the
+    CollectMetrics node from the final plan (legitimately-empty
+    candidate joins do this), resolution falls back to one slim
+    aggregate job over the pre-observe frame. ``cap=None`` disables
+    the guard entirely."""
     if cap is None:
         return banded
     from pyspark.sql import Observation, Window as _W
@@ -241,7 +270,11 @@ def _cap_hot_buckets(banded: DataFrame, keys: Sequence[str],
                                 F.lit(1.0) / F.col("__bs"))), F.lit(0.0))
         .alias("__hb_buckets"),
     )
-    _HOT_BUCKET_PENDING[op] = {"obs": obs, "cap": cap, "key": None}
+    # `sized` (pre-observe) backs the recompute fallback in
+    # _resolve_hot_bucket_stats for runs where AQE empty-propagation
+    # erases the CollectMetrics node from the final plan
+    _HOT_BUCKET_PENDING[op] = {"obs": obs, "cap": cap, "key": None,
+                               "sized": sized}
     return observed.filter(F.col("__bs") <= cap).drop("__bs")
 
 
@@ -723,6 +756,13 @@ def ngram_jaccard_pairs(
         .filter(F.col("r") <= plen)
         .select("id", "g")
     )
+    # persist the slim (id, prefix-token) frame: the candidate self-join
+    # consumes it on BOTH sides, and ReuseExchange cannot dedupe them —
+    # the rank window partitions by id while the join/cap partition by
+    # g, so the exchanges differ and side b would recompute the whole
+    # posting → freq-join → window pipeline (measured: the second
+    # computation was ~half the query's cold wall time at sf0.1)
+    pref = _persist_swap("ngram_prefix_pref", pref)
     a = _cap_hot_buckets(pref, ["g"], max_bucket_size, "ngram_prefix").alias("a")
     b = pref.alias("b")
     cand = (

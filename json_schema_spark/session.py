@@ -28,6 +28,17 @@ def get_spark(app: str = "json_schema_spark", cores: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate copies the generator's INPUT expression
+        # into a `size(e) > 0` filter that predicate-pushdown then sinks
+        # below the repartition exchange — for the dedup operators the
+        # input is a computed shingle/band array, so the whole shingling
+        # pipeline re-evaluates inside the (often single-task) scan
+        # stage. Measured on the prefix-Jaccard headline at sf0.1: two
+        # concurrent 5.3 s single-task filter stages ahead of every
+        # 32-way stage; the rule saves nothing here (no generator input
+        # is ever empty at the scan) and serializes the cold path.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
         .config("spark.ui.enabled", str(ui).lower())
         # 24g: at 16+ local threads an 8g heap inflates CPU work ~1.3-1.7×
         # in GC/allocator contention; 24g measured ZERO inflation
