@@ -18,7 +18,8 @@ from __future__ import annotations
 
 import ipaddress
 import re
-from typing import Callable
+import unicodedata
+from typing import Callable, Optional
 from urllib.parse import urlsplit
 
 __all__ = ["FORMAT_VALIDATORS", "FORMAT_REGEXES", "is_format_valid"]
@@ -29,10 +30,6 @@ __all__ = ["FORMAT_VALIDATORS", "FORMAT_REGEXES", "is_format_valid"]
 # walks ASCII '0'..'9' code points, while Python \d (and int()) also
 # accept Unicode digits like U+0663 — "٢٠٢٠-٠١-٠١" must NOT validate.
 _DATE_RE = re.compile(r"^([0-9]{4})-([0-9]{2})-([0-9]{2})$")
-_TIME_RE = re.compile(
-    r"^([0-9]{2}):([0-9]{2}):([0-9]{2})(\.[0-9]+)?"
-    r"([zZ]|[+-][0-9]{2}:[0-9]{2})$"
-)
 _DAYS = [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
 
 
@@ -53,34 +50,66 @@ def is_date(s: str) -> bool:
     return bool(m) and _valid_date(int(m[1]), int(m[2]), int(m[3]))
 
 
-def _valid_time_parts(hh: int, mm: int, ss: int, off: str) -> bool:
-    # RFC3339: seconds may be 60 only at a moment that is 23:59:60 UTC
-    # (leap second); the reference checks ss <= 60 with offset-adjusted
-    # wall-clock (DateTimeFormatValidation.java).
-    if not (0 <= hh <= 23 and 0 <= mm <= 59 and 0 <= ss <= 60):
-        return False
-    if off.lower() == "z":
-        o_h = o_m = 0
-        sign = 1
-    else:
-        sign = 1 if off[0] == "+" else -1
-        o_h, o_m = int(off[1:3]), int(off[4:6])
-        if o_h > 23 or o_m > 59:
-            return False
-    if ss == 60:
-        # normalize to UTC and require 23:59:60
-        total = hh * 60 + mm - sign * (o_h * 60 + o_m)
-        total %= 24 * 60
-        if total != 23 * 60 + 59:
-            return False
-    return True
-
-
 def is_time(s: str) -> bool:
-    m = _TIME_RE.match(s)
+    """Faithful port of DateTimeFormatValidation.validateTime
+    (reference `common/DateTimeFormatValidation.java:31-102`): hour and
+    minute are exactly two ASCII digits each followed by ':', but the
+    SECONDS field is whatever run of ``[0-9.]`` parses as a Java
+    BigDecimal (≤ 1 dot, ≥ 1 digit) — so ``23:59:0Z``, ``23:59:000Z``
+    and fractional forms like ``23:59:0.5Z`` are all valid, and the
+    leap-second rule applies to the TRUNCATED value (``longValue()``),
+    so ``23:59:60.9Z`` is a valid leap second. Found by fresh-seed
+    format fuzz vs the compiled reference (round 4)."""
+    m = re.match(r"^([0-9]{2}):([0-9]{2}):", s)
     if not m:
         return False
-    return _valid_time_parts(int(m[1]), int(m[2]), int(m[3]), m[5])
+    hh, mm = int(m[1]), int(m[2])
+    if hh > 23 or mm > 59:
+        return False
+    pos = 6
+    i = pos
+    while i < len(s) and (("0" <= s[i] <= "9") or s[i] == "."):
+        i += 1
+    run = s[pos:i]
+    # Java `new BigDecimal(run)`: at most one '.', at least one digit
+    if run.count(".") > 1 or not any("0" <= c <= "9" for c in run):
+        return False
+    ss = int(run.split(".", 1)[0] or "0")  # BigDecimal.longValue() truncates
+    if ss > 60:
+        return False
+    pos = i
+    if len(s) <= pos:
+        return False
+    ch = s[pos]
+    pos += 1
+    if ch in "+-":
+        om_m = re.match(r"^([0-9]{2}):([0-9]{2})", s[pos:])
+        if not om_m:
+            return False
+        o_h, o_m = int(om_m[1]), int(om_m[2])
+        if o_h > 23 or o_m > 59:
+            return False
+        pos += 5
+        off = ch
+    elif ch in "zZ":
+        o_h = o_m = 0
+        off = "z"
+    else:
+        return False
+    if ss == 60:
+        total = hh * 60 + mm
+        offset = o_h * 60 + o_m
+        if off == "-":
+            calc = total + offset
+        elif off == "+":
+            calc = total - offset
+        else:
+            calc = total
+        if calc < 0:
+            calc += 1440
+        if not (calc // 60 == 23 and calc % 60 == 59):
+            return False
+    return len(s) == pos
 
 
 def is_datetime(s: str) -> bool:
@@ -220,19 +249,88 @@ def is_ipv4(s: str) -> bool:
     return _IPV4_FIND_RE.match(s) is not None
 
 
+def _ipv6_colon_part(s: str, from_idx: int) -> int:
+    """Port of Ipv6Validator.parseIpv6ColonPart (reference
+    `common/Ipv6Validator.java:78-128`): -1 on failure, else
+    2 × group-count consumed bytes."""
+    if not s:
+        return 0
+    if from_idx < 0:
+        return -1
+    fields = s.split(":")  # the reference's custom split KEEPS empties
+    for i, field in enumerate(fields):
+        if from_idx + 2 * i >= 16:
+            return -1
+        if len(field) > 4 or not field:
+            return -1
+        for c in field:
+            if not ("0" <= c <= "9" or "a" <= c <= "f" or "A" <= c <= "F"):
+                return -1
+    return 2 * len(fields)
+
+
+def _ipv6_ipv4_tail(s: str) -> int:
+    """Port of Ipv6Validator.parseIpv4String: -1 on failure, else 4."""
+    parts = s.split(".")
+    if len(parts) != 4:
+        return -1
+    for p in parts:
+        if not (1 <= len(p) <= 3) or not all("0" <= c <= "9" for c in p):
+            return -1
+        if p.startswith("0") and len(p) > 1:
+            return -1
+        if int(p) > 255:
+            return -1
+    return 4
+
+
 def is_ipv6(s: str) -> bool:
-    """The reference's format-ipv6 checker (common/Ipv6Validator.java)
-    strips one [bracket] layer — it doubles as the IRI authority
-    predicate — and rejects zone ids ('%' is not a hex digit there)."""
+    """Faithful port of the reference's format-ipv6 checker
+    (`common/Ipv6Validator.java`, a vendored gist parser — a DIFFERENT
+    implementation from the commons InetAddressValidator the email path
+    embeds). Strips one [bracket] layer, allows at most one ``::``,
+    and — quirk found by fresh-seed fuzz (round 4) — in the
+    hex-groups-before-dotted-quad branch it computes
+    ``4 + parseIpv6ColonPart(...)``, so a colon-part FAILURE (-1) is
+    absorbed into a consumed-count of 3 instead of propagating; with
+    ``::`` present the total-length check is ``< 16`` and such inputs
+    VALIDATE (e.g. ``::fffbf:192.0.2.1``, ``::f%fff:192.0.2.1``)."""
     if s.startswith("[") and s.endswith("]"):
         s = s[1:-1]
-    if "%" in s:
+    if s.count("::") > 1:
         return False
-    try:
-        ipaddress.IPv6Address(s)
-        return True
-    except ValueError:
+    idx = s.find("::")
+    if idx == -1:
+        has_dbl = False
+        colon_only, colon_and_dot = None, s
+    else:
+        has_dbl = True
+        colon_only, colon_and_dot = s[:idx], s[idx + 2:]
+    consumed = _ipv6_colon_part(colon_only, 0) if colon_only else 0
+    if consumed == -1:
         return False
+    # parseIpv6LastBits
+    t = colon_and_dot
+    if "." in t:
+        dot = t.index(".")
+        col = t.rfind(":", 0, dot + 1)
+        if col == -1:
+            consumed2 = _ipv6_ipv4_tail(t)
+        else:
+            colon_part, dot_part = t[:col], t[col + 1:]
+            if _ipv6_ipv4_tail(dot_part) == -1:
+                return False
+            groups = len(colon_part.split(":"))
+            # the reference ADDS a possible -1 here instead of
+            # propagating it — preserved deliberately (see docstring)
+            consumed2 = 4 + _ipv6_colon_part(colon_part, 16 - 4 - groups * 2)
+    else:
+        consumed2 = _ipv6_colon_part(t, 16 - len(t.split(":")) * 2)
+    if consumed2 == -1:
+        return False
+    if has_dbl:
+        return consumed + consumed2 < 16
+    return consumed + consumed2 == 16
 
 
 def is_json_pointer(s: str) -> bool:
@@ -732,7 +830,65 @@ def _email_domain_ok(domain: str) -> bool:
     return _DOMAIN_LABEL_RE.fullmatch(ascii_d) is not None
 
 
-_JAVA_HEX_INT = re.compile(r"[+-]?[0-9a-fA-F]+")  # Integer.parseInt(s, 16)
+def _java_digit16(ch: str) -> int:
+    """Java Character.digit(ch, 16): ASCII hex, ANY Unicode decimal
+    digit (category Nd — e.g. ٣ = 3), and fullwidth Latin a-f/A-F.
+    Returns -1 when the character is not a base-16 digit."""
+    if "0" <= ch <= "9":
+        return ord(ch) - 48
+    if "a" <= ch <= "f":
+        return ord(ch) - 87
+    if "A" <= ch <= "F":
+        return ord(ch) - 55
+    if ("a" <= ch <= "z") or ("A" <= ch <= "Z"):
+        return -1  # g..z are >= 16 for radix 16
+    d = unicodedata.decimal(ch, -1)
+    if d != -1:
+        return d
+    o = ord(ch)
+    if 0xFF21 <= o <= 0xFF3A:  # fullwidth A-Z
+        v = o - 0xFF21 + 10
+        return v if v < 16 else -1
+    if 0xFF41 <= o <= 0xFF5A:  # fullwidth a-z
+        v = o - 0xFF41 + 10
+        return v if v < 16 else -1
+    return -1
+
+
+def _java_blank(s: str) -> bool:
+    """Java String.isBlank: every char passes Character.isWhitespace —
+    which EXCLUDES no-break spaces (U+00A0/U+2007/U+202F), unlike
+    Python's str.isspace/strip."""
+    return all(
+        c in "\t\n\x0b\f\r\x1c\x1d\x1e\x1f"
+        or (unicodedata.category(c) in ("Zs", "Zl", "Zp")
+            and c not in "\xa0  ")
+        for c in s
+    )
+
+
+def _java_parse_int16(s: str) -> Optional[int]:
+    """Java Integer.parseInt(s, 16) semantics for the commons octet
+    check: optional leading ASCII sign, ≥ 1 digit, digits resolved via
+    Character.digit (so Unicode decimal digits parse — fresh-seed fuzz
+    found the reference accepting ``a@[IPv6:٣::1]``). Returns None on
+    NumberFormatException (overflow cannot occur at ≤ 4 chars)."""
+    if not s:
+        return None
+    sign = 1
+    body = s
+    if s[0] in "+-":
+        sign = -1 if s[0] == "-" else 1
+        body = s[1:]
+        if not body:
+            return None
+    val = 0
+    for ch in body:
+        d = _java_digit16(ch)
+        if d < 0:
+            return None
+        val = val * 16 + d
+    return sign * val
 _COMMONS_IPV4 = re.compile(r"([0-9]{1,3})\.([0-9]{1,3})\.([0-9]{1,3})\.([0-9]{1,3})")
 
 
@@ -776,9 +932,15 @@ def _email_ipv6_ok(addr: str) -> bool:
     if (a.startswith(":") and not starts_c) or (a.endswith(":") and not ends_c):
         return False
     octets = a.split(":")
+    # Java String.split(":") drops ALL trailing empty segments (so
+    # "::" → [] and "1::" → ["1"]) — Python keeps them. Fresh-seed
+    # fuzz (round 4): without this, "IPv6:::" and "1::" were rejected
+    # as consecutive-empty-chunk errors the reference never sees.
+    while octets and octets[-1] == "":
+        octets.pop()
     if compressed:
         if ends_c:
-            octets.append("")  # String.split drops trailing empties
+            octets.append("")  # the reference re-adds ONE trailing empty
         elif starts_c and octets:
             octets.pop(0)
     if len(octets) > 8:
@@ -786,7 +948,7 @@ def _email_ipv6_ok(addr: str) -> bool:
     valid = 0
     empty = 0
     for idx, octet in enumerate(octets):
-        if octet.strip() == "":  # Java isBlank
+        if _java_blank(octet):  # Java String.isBlank
             empty += 1
             if empty > 1:
                 return False
@@ -799,10 +961,8 @@ def _email_ipv6_ok(addr: str) -> bool:
                 continue
             if len(octet) > 4:
                 return False
-            if not _JAVA_HEX_INT.fullmatch(octet):
-                return False
-            v = int(octet, 16)
-            if v < 0 or v > 0xFFFF:
+            v = _java_parse_int16(octet)
+            if v is None or v < 0 or v > 0xFFFF:
                 return False
         valid += 1
     if valid > 8 or (valid < 8 and not compressed):

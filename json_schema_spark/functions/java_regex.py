@@ -197,7 +197,10 @@ _ANY = r"[\u0000-\U0010ffff]"  # any codepoint (negation of an empty class)
 _HEX = set("0123456789abcdefABCDEF")
 _JAVA_FLAGS = set("idmsuxU")
 _GROUP_NAME = re.compile(r"[a-zA-Z][a-zA-Z0-9]*>")
-_REPETITION = re.compile(r"\{\d+(?:,\d*)?\}")
+# [0-9], not \d: Java's counted-closure parser reads ASCII digits only,
+# while Python \d would let a Unicode digit (e.g. "a{1,2٣}") form a
+# "quantifier" Java rejects as an illegal repetition (fresh-seed fuzz)
+_REPETITION = re.compile(r"\{[0-9]+(?:,[0-9]*)?\}")
 
 
 def _emit_char(cp: int) -> str:
@@ -234,6 +237,21 @@ class _Translator:
         # "done" (modifier consumed), "noop" (a Java no-op brace —
         # {n,m} with no atom quantifies an implicit empty node)
         self.qstate = "none"
+        # deferred Java-only reason: untranslatable-but-valid constructs
+        # (class unions, \X, …) set this and keep PARSING with a
+        # placeholder atom so syntax errors later in the pattern are
+        # still caught — "[[a-z][0-9]][" must stay a Java error, not a
+        # Java-only pass (fresh-seed fuzz, round 4). translate() raises
+        # at the end. Parse-mode-changing constructs ((?x), (?d), …)
+        # still raise immediately: the remainder cannot be parsed
+        # faithfully once the mode is unknown.
+        self.java_only: str | None = None
+        # capturing groups opened so far (Java capturingGroupCount - 1)
+        self.groups = 0
+
+    def _concede(self, reason: str) -> None:
+        if self.java_only is None:
+            self.java_only = reason
 
     # -------------------------------------------------- escape reading
 
@@ -350,7 +368,26 @@ class _Translator:
         if c in "123456789":
             if in_class:
                 raise JavaRegexError("octal escapes need \\0 in Java")
-            return ("raw", "\\" + c)  # backreference
+            # Java backreference (Pattern.ref()): \\1-\\9 ALWAYS parse as
+            # backrefs with NO existence check at compile time ("\\9"
+            # with zero groups compiles — probed, round 4); further
+            # digits extend the number only while it stays <= the
+            # groups opened so far. A reference to a not-(yet-)existing
+            # group can never match, so it translates to a never-match
+            # atom (Python re rejects such patterns at compile).
+            ref = ord(c) - 48
+            while self.i < self.n and "0" <= self.p[self.i] <= "9":
+                ext = ref * 10 + (ord(self.p[self.i]) - 48)
+                if ext > self.groups:
+                    break
+                ref = ext
+                self.i += 1
+            if ref <= self.groups:
+                # wrapped so a following literal digit cannot be
+                # re-absorbed into the group number by Python's parser
+                # ("(a)(b)\\12" = backref 1 + literal "2" in Java)
+                return ("raw", "(?:\\" + str(ref) + ")")
+            return ("raw", "(?:(?!))")  # never matches, quantifiable
         if c == "k":
             if in_class:
                 raise JavaRegexError("\\k not allowed in a class")
@@ -375,13 +412,19 @@ class _Translator:
         if c == "G":
             if in_class:
                 raise JavaRegexError("\\G not allowed in a class")
-            raise JavaOnlyRegex("\\G (end of previous match)")
+            self._concede("\\G (end of previous match)")
+            return ("raw", "(?:.)")  # placeholder; parsing continues
         if c == "X":
             if in_class:
                 raise JavaRegexError("\\X not allowed in a class")
-            raise JavaOnlyRegex("\\X (grapheme cluster)")
-        if not c.isalnum():
-            return ("char", ord(c))  # escaped punctuation = literal
+            self._concede("\\X (grapheme cluster)")
+            return ("raw", "(?:.)")  # placeholder; parsing continues
+        if not ("a" <= c <= "z" or "A" <= c <= "Z" or "0" <= c <= "9"):
+            # escaped punctuation AND non-ASCII letters/digits are
+            # literals in Java — its "Illegal/unsupported escape
+            # sequence" check covers ASCII alphanumerics only, so \٣
+            # compiles as a literal ٣ (fresh-seed fuzz, round 4)
+            return ("char", ord(c))
         raise JavaRegexError(f"illegal escape sequence \\{c}")
 
     # ---------------------------------------------------- class parser
@@ -407,13 +450,30 @@ class _Translator:
                 break
             first = False
             if c == "[":
-                raise JavaOnlyRegex("nested character class (Java union)")
+                # Java union syntax — untranslatable but only VALID if
+                # the nested class itself parses: "[[a-" is "Unclosed
+                # character class" and "[[a--][0-9]]" an illegal range
+                # in Java, not Java-only passes (fresh-seed fuzz,
+                # round 4). Recursively parse (and thereby validate)
+                # the nested class, then record it as an opaque member.
+                self.i += 1
+                self._parse_class()
+                self._concede("nested character class (Java union)")
+                toks.append(("union", None))
+                continue
             if c == "&" and self.p[self.i + 1:self.i + 2] == "&":
                 if not toks and self.p[self.i + 2:self.i + 3] == "]":
                     # probed: [&&] alone is "Bad class syntax" in Java,
                     # while [a&&] / [&&a] compile
                     raise JavaRegexError("bad class syntax ([&&])")
-                raise JavaOnlyRegex("character class intersection (&&)")
+                # untranslatable, but the operand on each side must
+                # still parse ("[a&&0-/]" is an illegal range, "[a&&b"
+                # unclosed — fresh-seed fuzz, round 4): consume the
+                # separator, concede, and keep validating members
+                self._concede("character class intersection (&&)")
+                self.i += 2
+                toks.append(("union", None))  # range-opaque separator
+                continue
             if c == "\\":
                 self.i += 1
                 tok = self._read_escape(in_class=True)
@@ -441,8 +501,12 @@ class _Translator:
                 nxt = toks[k + 1][0] if k + 1 < len(toks) else None
                 nxt2 = toks[k + 2] if k + 2 < len(toks) else None
                 if nxt == "dash" and nxt2 is not None:
-                    if nxt2[0] == "char":
-                        lo, hi = val, nxt2[1]
+                    if nxt2[0] in ("char", "dash"):
+                        # char-dash-DASH is a range ending at '-' in
+                        # Java: "[a--]" is an illegal range (a > '-'),
+                        # "[!--]" a valid one (probed, round 4)
+                        lo = val
+                        hi = nxt2[1] if nxt2[0] == "char" else 0x2D
                         if lo > hi:
                             raise JavaRegexError("illegal character range")
                         bits.append(_esc(lo) + "-" + _esc(hi))
@@ -450,9 +514,13 @@ class _Translator:
                         continue
                     if nxt2[0] == "body":
                         raise JavaRegexError("illegal character range (to a class)")
+                    # nxt2 is a nested class: the dash is a literal in
+                    # Java ("[a-[b]]" compiles — probed, round 4)
                 bits.append(_esc(val))
             elif kind == "dash":
                 bits.append(_esc(0x2D))  # literal dash
+            elif kind == "union":
+                pass  # opaque member of a conceded Java-only class
             else:  # body
                 bits.append(val)
             k += 1
@@ -535,7 +603,10 @@ class _Translator:
                         self._atom(r"\A", quantifiable=False)
                     elif val == "b":
                         if p[self.i:self.i + 3] == "{g}":
-                            raise JavaOnlyRegex("\\b{g} (grapheme boundary)")
+                            self._concede("\\b{g} (grapheme boundary)")
+                            self.i += 3
+                            self._atom("(?:.)", quantifiable=False)
+                            continue
                         w = _builtin_body("bin:WORD", False)
                         self._atom(
                             f"(?:(?<=[{w}])(?![{w}])|(?<![{w}])(?=[{w}]))",
@@ -587,6 +658,11 @@ class _Translator:
                     # Java: any brace not forming {n}/{n,}/{n,m} is an
                     # "Illegal repetition" error (Python: a literal)
                     raise JavaRegexError(f"illegal repetition near index {self.i}")
+                lohi = m.group(0)[1:-1].split(",")
+                if len(lohi) == 2 and lohi[1] and int(lohi[1]) < int(lohi[0]):
+                    # Java validates the range even on a no-op brace
+                    # with no atom ("{2,1}" alone — fresh-seed fuzz)
+                    raise JavaRegexError("illegal repetition range")
                 self._quantifier(m.group(0))
                 self.i = m.end()
                 continue
@@ -600,6 +676,8 @@ class _Translator:
             self.i += 1
         if self.stack:
             raise JavaRegexError("unclosed group")
+        if self.java_only is not None:
+            raise JavaOnlyRegex(self.java_only)
         return "".join(self.out)
 
 
@@ -659,6 +737,7 @@ class _Translator:
         p = self.p
         if p[self.i + 1:self.i + 2] != "?":
             self._push_group("(")
+            self.groups += 1
             self.i += 1
             return
         two = p[self.i + 2:self.i + 3]
@@ -685,6 +764,7 @@ class _Translator:
                 raise JavaRegexError(
                     "capturing group name must start with a Latin letter")
             self._push_group(f"(?P<{m.group(0)[:-1]}>")
+            self.groups += 1  # named groups are numbered in Java too
             self.i = m.end()
             return
         if two in ("P", "#", "("):

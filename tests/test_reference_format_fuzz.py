@@ -43,7 +43,10 @@ from tests.test_reference_differential import (  # noqa: F401
 
 SEEDS: dict[str, list[str]] = {
     "date": ["2024-02-29", "2023-02-29", "2024-13-01", "0000-01-01"],
-    "time": ["23:59:60Z", "12:00:00+05:30", "12:00:00", "24:00:00Z"],
+    "time": ["23:59:60Z", "12:00:00+05:30", "12:00:00", "24:00:00Z",
+             # round-4 fresh-seed finds: BigDecimal seconds run
+             "23:59:0Z", "23:59:6Z", "23:59:000Z", "23:59:0.5Z",
+             "23:59:.5Z", "23:59:5.Z", "23:59:60.9Z", "23:59:..5Z"],
     "date-time": ["2024-01-02T12:34:56.789Z", "2024-01-02t12:34:56z",
                   "2024-01-02 12:34:56Z"],
     "duration": ["P1Y2M3DT4H5M6S", "PT0.5S", "P", "PT", "P1W", "P1Y1W"],
@@ -51,7 +54,10 @@ SEEDS: dict[str, list[str]] = {
              "6BA7B810-9DAD-11D1-80B4-00C04FD430C8"],
     "ipv4": ["192.168.0.1", "255.255.255.255", "256.1.1.1", "01.1.1.1"],
     "ipv6": ["::1", "fe80::1%eth0", "::ffff:192.0.2.1", "1:2:3:4:5:6:7:8",
-             "1::2::3", "[::1]"],
+             "1::2::3", "[::1]",
+             # round-4 fresh-seed finds: the gist parser's 4+(-1) bug
+             "::fffbf:192.0.2.1", "::f%fff:192.0.2.1", "::_fff:192.0.2.1",
+             "1:2:3:fffbf:192.0.2.1", "::1:2:3:4:5:6:7:192.0.2.1", ":::"],
     "uri": ["https://example.com/a?b=c#d", "urn:isbn:0451450523",
             "//missing.scheme", "http://[v7.host]/"],
     "uri-reference": ["/relative/path", "#frag", "?q=1", "a:b"],
@@ -61,13 +67,23 @@ SEEDS: dict[str, list[str]] = {
                      "{+path:6}", "http://x.org/{var"],
     "json-pointer": ["", "/a/b", "/a~0b", "/a~1b", "/a~2b", "a/b"],
     "relative-json-pointer": ["0", "1/a", "0#", "01/a", "-1/a"],
-    "regex": ["a+b", "[a-", "(?=x)", "a{1,2}"],
+    "regex": ["a+b", "[a-", "(?=x)", "a{1,2}",
+              # round-4 fresh-seed finds: unclosed union, non-ASCII
+              # quantifier digit, non-ASCII literal escape
+              "[[a-", "a{1,2٣}", "\"a\\٣b\"@example.com",
+              "[[a-z][0-9]]", "\\é", "a{2,1}", "{2,1}",
+              # round-4 reference probes: compile-time-unchecked
+              # backrefs, dash-range and union/intersection content
+              "\\9", "(a)\\2", "\\10", "(a)(b)\\12", "[a--]", "[!--]",
+              "[--/]", "[[a--][0-9]]", "[[a-z][b-a]]", "[a-[b]]",
+              "[a&&0-/]", "[a&&b", "[[a-z][0-9]][", "[---]", "[\\--a]"],
     "email": ["a@example.com", "a.b+c@ex.co", "\"quoted\"@example.com",
               "a@[127.0.0.1]", "a@b", "a..b@example.com",
               "\"a b\"@example.com", "\"a\\\"b\"@example.com", ".a@example.com",
               "a.@example.com", "a@example.co1", "a@example.c",
               "a@exa_mple.com", "a@-example.com", "a@example-.com",
-              "a@[IPv6:::1]", "a@[300.1.1.1]", "a!#$%&'*+-/=?^_`{|}~z@example.com",
+              "a@[IPv6:::1]", "a@[IPv6:::]", "a@[IPv6:1::]",
+              "a@[IPv6:٣::1]", "a@[IPv6:+fff::1]", "a@[300.1.1.1]", "a!#$%&'*+-/=?^_`{|}~z@example.com",
               "a@" + "b" * 64 + ".com", "a@example..com", "a b@example.com"],
     "idn-email": ["üser@exämple.com", "user@例え.jp", "user@xn--r8jz45g.jp",
                   "üser@-bad.de", "user@例え..jp"],
