@@ -8,17 +8,15 @@ executors) plus the per-row sha256 invariant column (input_hint).
 SURVEY.md §2 / §2.9 and the training-data pipeline ops; each Spark
 query is paired with an ANSI-SQL DuckDB oracle where the semantics are
 SQL-expressible (all value-bearing columns aliased identically on both
-sides, floats rounded to 6 decimals, counts cast to bigint). Round 3:
-35 queries, 34 oracle-paired — hash-dependent operators use
+sides, floats rounded to 6 decimals, counts cast to bigint). Round 4:
+43 queries, 43 oracle-paired — hash-dependent operators use
 SQL-reproducible hashes (sha256-derived SimHash bits and banded-LSH
 hyperplane sign sums in exact decimal, OPH MinHash, mod-seeded
-exact-decimal IVF, digest-tiled multimodal fake decodes, and a
-sha-universal twin of the FULL MinHash-LSH pipeline) so only the
-xxhash64 MinHash fast path remains rows-only — and its twin gates the
-identical banding/pair/verify plan. New in round 3:
-typed-row and map-column object-keyword queries (the round-2
-silent-drop fix, oracle-gated) and oracle-paired image/audio/video
-feature queries over the multimodal mapInPandas kernels.
+exact-decimal IVF, digest-tiled multimodal fake decodes, and — since
+round 4 — the universal-hash FULL MinHash-LSH pipeline as the headline;
+the xxhash64 fast path is timed separately in bench.py). New in
+round 4: snapshot reconciliation (`snapshot_diff_orders` rows mode on
+the slim-digest path + `_summary` on the exact struct-compare path).
 """
 
 from __future__ import annotations
@@ -38,6 +36,7 @@ from json_schema_spark.operators import components as CC
 from json_schema_spark.operators import chunking as CH
 from json_schema_spark.operators import pii as P
 from json_schema_spark.operators import sampling as SMP
+from json_schema_spark.operators import reconcile as RC
 from json_schema_spark.operators import text as T
 
 # --------------------------------------------------------------- schemas
@@ -252,6 +251,49 @@ def _q_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = o.filter(F.col("o_orderkey") % 2 == 1)
     return R.ks_bucketed(cur, base, "o_totalprice", lo=0.0, hi=600000.0, buckets=100).select(
         F.round("ks", 6).alias("ks")
+    )
+
+
+def _orders_new_snapshot(orders: DataFrame) -> DataFrame:
+    """Deterministic 'next version' of the orders snapshot, identically
+    reconstructible in the DuckDB oracle: keys %53==0 removed, totalprice
+    bumped on surviving %97==0 keys, %101==0 rows re-keyed (+1e8) as
+    additions."""
+    base = orders.filter(F.col("o_orderkey") % 53 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 97 == 0,
+               F.col("o_totalprice") + F.lit(1.5))
+        .otherwise(F.col("o_totalprice")),
+    )
+    added = orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100_000_000))
+    return base.unionByName(added)
+
+
+_RECONCILE_COLS = ["o_custkey", "o_orderstatus", "o_totalprice"]
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot reconciliation on the 100 TB path: each side
+    reduced to (key, xxhash64 digest) before the full-outer join, so
+    the shuffle carries 16 bytes/row regardless of table width. The
+    digest never leaves the plan — only the status classification is
+    exposed — so the oracle pairs it by comparing the columns directly
+    (a status mismatch would surface any digest/canonicalization bug)."""
+    orders = _t(spark, sf_dir, "orders")
+    return RC.snapshot_diff(
+        orders, _orders_new_snapshot(orders), keys=["o_orderkey"],
+        compare_cols=_RECONCILE_COLS, mode="rows", digest="xxhash64",
+    )
+
+
+def _q_snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary mode over the exact (struct-compare, digest=None) path —
+    the zero-aliasing variant; counts all four classes."""
+    orders = _t(spark, sf_dir, "orders")
+    return RC.snapshot_diff(
+        orders, _orders_new_snapshot(orders), keys=["o_orderkey"],
+        compare_cols=_RECONCILE_COLS, mode="summary", digest=None,
     )
 
 
@@ -729,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_customers_without_events": _q_anti_join,
         "psi_events_click_vs_view": _q_psi,
         "ks_orders_totalprice": _q_ks,
+        "snapshot_diff_orders": _q_snapshot_diff,
+        "snapshot_diff_summary_orders": _q_snapshot_diff_summary,
         "dedup_keep_first_documents": _q_dedup_keep_first,
         "ngram_jaccard_documents": _q_ngram_jaccard,
         "ngram_jaccard_exact_documents": _q_ngram_jaccard_exact,
@@ -1269,6 +1313,35 @@ def _ledger_oracle_sql() -> str:
     """
 
 
+# DuckDB replica of the _orders_new_snapshot synthesis + the status
+# classification of operators/reconcile.py:snapshot_diff. The oracle
+# compares columns directly (IS NOT DISTINCT FROM) where the Spark
+# rows-mode query classifies via its slim xxhash64 digest — identical
+# statuses prove the digest/canonicalization faithful. Key join is
+# plain '=' (orders keys are non-null; Spark's eqNullSafe coincides).
+_SNAPSHOT_DIFF_CTE = """
+    WITH n AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 53 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    j AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                   AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                   AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                  THEN 'unchanged' ELSE 'changed' END AS status
+      FROM orders o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     stats_parts = " UNION ALL ".join(
@@ -1447,6 +1520,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(max(abs(cum_cur / (SELECT sum(c_cur) FROM j)
                                - cum_base / (SELECT sum(c_base) FROM j))), 6) AS ks
             FROM cdf
+        """,
+        "snapshot_diff_orders": _SNAPSHOT_DIFF_CTE + """
+            SELECT o_orderkey, status FROM j WHERE status <> 'unchanged'
+        """,
+        "snapshot_diff_summary_orders": _SNAPSHOT_DIFF_CTE + """
+            SELECT status, count(*)::bigint AS rows FROM j GROUP BY status
         """,
         "dedup_keep_first_documents": f"""
             SELECT min(doc_id) AS doc_id FROM documents

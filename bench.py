@@ -43,6 +43,7 @@ HEADLINE = [
     "anti_join_customers_without_events",
     "psi_events_click_vs_view",
     "ks_orders_totalprice",
+    "snapshot_diff_orders",
     "minhash_neardup_documents",
     "ngram_jaccard_documents",
     "simhash_documents",
