@@ -119,6 +119,49 @@ def _ann_merge(dst, src):
         dst[3] = True
 
 
+# Keywords the reference's unevaluated* transformers pull out of the
+# per-node validator map and run INSIDE themselves, gated on the
+# instance's JSON type (UnevaluatedItemsCompiler.java:22-33 AWAITED =
+# EXPECTED + the in-place applicators; UnevaluatedPropertiesCompiler
+# .java:24-35). The kernel merges prefixItems/additionalItems into the
+# "items" validator and then/else into "if", so the tag sets are the
+# reference's keyword sets modulo that merge.
+_UNEVAL_ITEMS_ABSORBS = frozenset((
+    "$ref", "$recursiveRef", "$dynamicRef", "items", "contains",
+    "allOf", "anyOf", "oneOf", "not", "if", "dependentSchemas",
+))
+_UNEVAL_PROPS_ABSORBS = frozenset((
+    "$ref", "$recursiveRef", "$dynamicRef", "properties",
+    "allOf", "anyOf", "oneOf", "not", "if", "dependentSchemas",
+))
+
+
+def _absorb_group(absorbed, uneval_check, json_type):
+    """Reference transformer semantics: the absorbed validators and the
+    unevaluated* check itself run only when the instance is the right
+    JSON type (list for unevaluatedItems, dict for
+    unevaluatedProperties); any other instance passes the WHOLE group
+    vacuously — including absorbed in-place applicators like "not" or
+    "$ref" that could otherwise fail (BasePropertiesCollectorValidator
+    .java:27-41 isObject() early-OK, UnevaluatedItemsCompiler.java:
+    106-118 isArray() early-OK)."""
+
+    def kv(inst, path, scope, ann, errors):
+        if not isinstance(inst, json_type):
+            return True
+        ok = True
+        for fn in absorbed:
+            if not fn(inst, path, scope, ann, errors):
+                ok = False
+                if errors is None:
+                    return False
+        if not uneval_check(inst, path, scope, ann, errors):
+            ok = False
+        return ok
+
+    return kv
+
+
 _METADATA_KEYWORDS = frozenset(
     {
         "$schema",
@@ -216,15 +259,26 @@ class _Compiler:
             return self._wrap_resource(node, sub)
 
         self._check_keyword_args(node, dialect)
-        kws: list[Callable] = []  # each: fn(inst, path, scope, ann, errors) -> bool
-        add = kws.append
+        # Each entry: (tag, fn) where fn(inst, path, scope, ann, errors)
+        # -> bool. The tag names the source keyword for the keywords the
+        # reference's unevaluated* transformers absorb (see
+        # _absorb_group below); untagged keywords never move.
+        kws: list[tuple[Optional[str], Callable]] = []
 
+        def add(fn, tag=None):
+            kws.append((tag, fn))
+
+        # reference keyword activity is per-dialect: $recursiveRef is a
+        # 2019-09-only keyword, $dynamicRef 2020-12-only — in any other
+        # draft they are UNKNOWN keywords and ignored entirely, even
+        # with malformed arguments (reference-probe verified; each
+        # compiler registers only its own draft's vocabulary)
         if "$ref" in node:
-            add(self._kw_ref(node["$ref"], base))
-        if "$recursiveRef" in node:
-            add(self._kw_recursive_ref(node["$recursiveRef"], base))
-        if "$dynamicRef" in node:
-            add(self._kw_dynamic_ref(node["$dynamicRef"], base))
+            add(self._kw_ref(node["$ref"], base), "$ref")
+        if "$recursiveRef" in node and dialect == "2019-09":
+            add(self._kw_recursive_ref(node["$recursiveRef"], base), "$recursiveRef")
+        if "$dynamicRef" in node and dialect == "2020-12":
+            add(self._kw_dynamic_ref(node["$dynamicRef"], base), "$dynamicRef")
 
         if "type" in node:
             add(self._kw_type(node["type"]))
@@ -257,7 +311,13 @@ class _Compiler:
             add(self._kw_required(node["required"]))
         if "minProperties" in node or "maxProperties" in node:
             add(self._kw_prop_count(node.get("minProperties"), node.get("maxProperties")))
-        if "dependentRequired" in node:
+        # dependentRequired / dependentSchemas / unevaluated* are
+        # post-draft-7 keywords: in draft7 the reference ignores them
+        # (unknown keyword), even with malformed arguments; the dual-form
+        # "dependencies" stays active in EVERY draft (reference-probe
+        # verified: {"dependencies": {"a": ["b"]}} rejects in 2020-12)
+        post7 = dialect != "draft7"
+        if "dependentRequired" in node and post7:
             add(self._kw_dependent_required(node["dependentRequired"]))
         if "dependencies" in node:
             for fn in self._kw_dependencies(node["dependencies"]):
@@ -270,15 +330,16 @@ class _Compiler:
                     node.get("properties"),
                     node.get("patternProperties"),
                     node.get("additionalProperties"),
-                )
+                ),
+                "properties",
             )
 
         if dialect == "2020-12":
             if "prefixItems" in node or "items" in node:
-                add(self._kw_items_2020(node.get("prefixItems"), node.get("items")))
+                add(self._kw_items_2020(node.get("prefixItems"), node.get("items")), "items")
         else:
             if "items" in node or "additionalItems" in node:
-                add(self._kw_items_legacy(node.get("items"), node.get("additionalItems")))
+                add(self._kw_items_legacy(node.get("items"), node.get("additionalItems")), "items")
         if "contains" in node or "minContains" in node or "maxContains" in node:
             if "contains" in node:
                 add(
@@ -287,7 +348,8 @@ class _Compiler:
                         node.get("minContains"),
                         node.get("maxContains"),
                         dialect,
-                    )
+                    ),
+                    "contains",
                 )
         if "minItems" in node or "maxItems" in node:
             add(self._kw_item_count(node.get("minItems"), node.get("maxItems")))
@@ -295,28 +357,41 @@ class _Compiler:
             add(self._kw_unique_items())
 
         if "allOf" in node:
-            add(self._kw_all_of(self._schemas_array("allOf", node["allOf"])))
+            add(self._kw_all_of(self._schemas_array("allOf", node["allOf"])), "allOf")
         if "anyOf" in node:
-            add(self._kw_any_of(self._schemas_array("anyOf", node["anyOf"])))
+            add(self._kw_any_of(self._schemas_array("anyOf", node["anyOf"])), "anyOf")
         if "oneOf" in node:
-            add(self._kw_one_of(self._schemas_array("oneOf", node["oneOf"])))
+            add(self._kw_one_of(self._schemas_array("oneOf", node["oneOf"])), "oneOf")
         if "not" in node:
-            add(self._kw_not(node["not"]))
+            add(self._kw_not(node["not"]), "not")
         if "if" in node:
-            add(self._kw_if_then_else(node.get("if"), node.get("then"), node.get("else")))
-        if "dependentSchemas" in node:
-            add(self._kw_dependent_schemas(node["dependentSchemas"]))
+            add(self._kw_if_then_else(node.get("if"), node.get("then"), node.get("else")), "if")
+        if "dependentSchemas" in node and post7:
+            add(self._kw_dependent_schemas(node["dependentSchemas"]), "dependentSchemas")
 
-        # transformers last: unevaluated* absorb every annotation producer
-        # (Compiler.java:91-96, order MAX_INT)
-        if "unevaluatedItems" in node:
-            add(self._kw_unevaluated_items(node["unevaluatedItems"]))
-        if "unevaluatedProperties" in node:
-            add(self._kw_unevaluated_properties(node["unevaluatedProperties"]))
+        # transformers last (Compiler.java:91-96, order MAX_INT):
+        # unevaluated* ABSORB their annotation sources and every in-place
+        # applicator — for an instance of the wrong JSON type the whole
+        # absorbed group is SKIPPED, so e.g. {"not": {...},
+        # "unevaluatedItems": false} accepts any non-array no matter what
+        # "not" says (UnevaluatedItemsCompiler.java:106-118,
+        # BasePropertiesCollectorValidator.java:27-41; reference-probe
+        # verified for both drafts). unevaluatedItems transforms first,
+        # so when both are present it owns the shared in-place keywords.
+        if "unevaluatedItems" in node and post7:
+            moved = [fn for tag, fn in kws if tag in _UNEVAL_ITEMS_ABSORBS]
+            kws = [(tag, fn) for tag, fn in kws if tag not in _UNEVAL_ITEMS_ABSORBS]
+            add(_absorb_group(
+                moved, self._kw_unevaluated_items(node["unevaluatedItems"]), list))
+        if "unevaluatedProperties" in node and post7:
+            moved = [fn for tag, fn in kws if tag in _UNEVAL_PROPS_ABSORBS]
+            kws = [(tag, fn) for tag, fn in kws if tag not in _UNEVAL_PROPS_ABSORBS]
+            add(_absorb_group(
+                moved, self._kw_unevaluated_properties(node["unevaluatedProperties"]), dict))
 
         collect = self.config.collect_errors
 
-        def schema_validator(inst, path, scope, _kws=tuple(kws)):
+        def schema_validator(inst, path, scope, _kws=tuple(fn for _, fn in kws)):
             ann = _new_ann()
             errors = [] if collect else None
             ok = True
@@ -915,7 +990,12 @@ class _Compiler:
         lo = int(min_c) if min_c is not None and dialect != "draft7" else None
         hi = int(max_c) if max_c is not None and dialect != "draft7" else None
         lo_eff = 1 if lo is None else lo
-        track_idx = dialect == "2020-12"
+        # The reference counts contains-matched indices as evaluated in
+        # BOTH 2019-09 and 2020-12 (UnevaluatedItemsCompiler.java:22-24
+        # lists "contains" unconditionally; its vocabularies span
+        # DRAFT_2019_09_CORE too) — the strict 2019-09 spec excludes
+        # contains, but the reference is the authority here.
+        track_idx = dialect != "draft7"
 
         def kv(inst, path, scope, ann, errors):
             if not isinstance(inst, list):
@@ -995,9 +1075,16 @@ class _Compiler:
             if d < 0:
                 bad(kw, "must be non-negative")  # e.g. MinItemsCompiler:33
 
-        for kw in ("minLength", "maxLength", "minItems", "maxItems",
-                   "minProperties", "maxProperties",
-                   "minContains", "maxContains"):
+        # arg checks only fire for keywords ACTIVE in the node's dialect
+        # (a compiler's checkIt never runs if the keyword is unknown to
+        # the draft's vocabularies — reference-probe verified with e.g.
+        # draft7 {"dependentSchemas": 5} and 2020-12 {"$recursiveRef": 5})
+        post7 = dialect != "draft7"
+        int_kws = ["minLength", "maxLength", "minItems", "maxItems",
+                   "minProperties", "maxProperties"]
+        if post7:
+            int_kws += ["minContains", "maxContains"]
+        for kw in int_kws:
             if kw in node:
                 chk_int(kw)
         for kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
@@ -1009,7 +1096,12 @@ class _Compiler:
                 bad("multipleOf", "must be a positive number")  # MultipleOfCompiler:35-38
         if "uniqueItems" in node and not isinstance(node["uniqueItems"], bool):
             bad("uniqueItems", "must be a boolean")  # UniqueItemsCompiler:36
-        for kw in ("$ref", "$recursiveRef", "$dynamicRef", "pattern"):
+        ref_kws = ["$ref", "pattern"]
+        if dialect == "2019-09":
+            ref_kws.append("$recursiveRef")
+        elif dialect == "2020-12":
+            ref_kws.append("$dynamicRef")
+        for kw in ref_kws:
             if kw in node and not isinstance(node[kw], str):
                 bad(kw, "must be a string")  # RefCompiler:34, PatternCompiler
         if "type" in node and not isinstance(node["type"], (str, list)):
@@ -1032,11 +1124,13 @@ class _Compiler:
                 bad("required", "must be an array of strings")  # RequiredCompiler
             if len(set(v)) != len(v):
                 bad("required", "must not contain duplicates")
-        for kw in ("properties", "patternProperties", "dependentSchemas",
-                   "dependentRequired"):
+        obj_kws = ["properties", "patternProperties"]
+        if post7:
+            obj_kws += ["dependentSchemas", "dependentRequired"]
+        for kw in obj_kws:
             if kw in node and not isinstance(node[kw], dict):
                 bad(kw, "must be an object")  # PropertiesCompiler:31 et al.
-        if "dependentRequired" in node:
+        if post7 and "dependentRequired" in node:
             for dep in node["dependentRequired"].values():
                 if not isinstance(dep, list) or any(
                         not isinstance(x, str) for x in dep):
@@ -1168,6 +1262,12 @@ class _Compiler:
 
     def _kw_dependent_schemas(self, arg: dict, kw: str = "dependentSchemas") -> Callable:
         subs = {k: self._sub(v) for k, v in arg.items()}
+        # only "dependentSchemas" is in the reference's unevaluated*
+        # AWAITED sets — annotations from the dual-form draft-7
+        # "dependencies" keyword never reach extractEvaluated
+        # (UnevaluatedPropertiesCompiler.java:27-35 lists
+        # dependentSchemas only; reference-probe verified)
+        merge = kw == "dependentSchemas"
 
         def kv(inst, path, scope, ann, errors):
             if not isinstance(inst, dict):
@@ -1177,7 +1277,8 @@ class _Compiler:
                 if k in inst:
                     s_ok, errs, s_ann = sub(inst, path, scope)
                     if s_ok:
-                        _ann_merge(ann, s_ann)
+                        if merge:
+                            _ann_merge(ann, s_ann)
                     else:
                         ok = False
                         if errors is None:

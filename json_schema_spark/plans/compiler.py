@@ -90,12 +90,6 @@ def violations_array(checks: list[Check]) -> Column:
 
 _SCALAR = ("string", "number", "integer", "boolean", "null")
 
-_UNSUPPORTED_KEYWORDS = (
-    "$recursiveRef",
-    "$dynamicRef",
-    "contentSchema",
-)
-
 # keywords whose annotations depend on which branch succeeded at
 # runtime — in their presence the evaluated-property/item set is not
 # statically derivable and unevaluated* falls back to the UDF kernel
@@ -179,9 +173,15 @@ class _BaseCompiler:
         return "(?U)" + self._regex(pattern)
 
     def _guard_keywords(self, node: dict) -> None:
-        for kw in _UNSUPPORTED_KEYWORDS:
-            if kw in node:
-                raise ExprUnsupported(f"keyword {kw!r} needs the UDF kernel")
+        # $recursiveRef is a 2019-09-only keyword and $dynamicRef
+        # 2020-12-only; in any other draft the reference IGNORES them
+        # (unknown keyword), so only the active draft needs the kernel
+        if "$recursiveRef" in node and self.dialect == "2019-09":
+            raise ExprUnsupported("keyword '$recursiveRef' needs the UDF kernel")
+        if "$dynamicRef" in node and self.dialect == "2020-12":
+            raise ExprUnsupported("keyword '$dynamicRef' needs the UDF kernel")
+        if "contentSchema" in node:
+            raise ExprUnsupported("keyword 'contentSchema' needs the UDF kernel")
         if ("contentEncoding" in node or "contentMediaType" in node) and (
             self.content_asserts or self.dialect == "draft7"
         ):
@@ -216,6 +216,19 @@ class _BaseCompiler:
                 self._ref_stack.pop()
             if self.dialect == "draft7":
                 return ref_checks  # $ref replaces siblings (RefCompiler.java:50-66)
+            # absorb-and-skip: an unevaluated* sibling absorbs the $ref
+            # (and the other in-place applicators) — their checks fire
+            # only on right-typed instances
+            ugate = self._uneval_gate(node, val)
+            if ugate is not None and any(
+                kw in node for kw in ("allOf", "not")
+            ):
+                # the rest-recursion below cannot see the absorb gate;
+                # anyOf/oneOf/if/dependentSchemas already bail via
+                # _coverage_guard on the original node
+                raise ExprUnsupported(
+                    "$ref + unevaluated* + in-place applicators need the UDF kernel")
+            ref_checks = self._gate_checks(ref_checks, ugate)
             rest = {k: v for k, v in node.items()
                     if k not in ("$ref", "unevaluatedProperties", "unevaluatedItems")}
             out = ref_checks + self.compile(rest if rest else True, val, path)
@@ -237,6 +250,16 @@ class _BaseCompiler:
         self._guard_keywords(node)
         checks: list[Check] = []
         p = self._ptr(path)
+        # reference absorb-and-skip (UnevaluatedItemsCompiler.java:
+        # 106-118, BasePropertiesCollectorValidator.java:27-41): an
+        # unevaluated* keyword absorbs its node's in-place applicators
+        # ($ref, allOf, not, …) and skips them for wrong-typed
+        # instances. The expressible subset: gate the absorbed checks on
+        # the instance being an array/object. anyOf/oneOf/if/
+        # dependentSchemas/contains under unevaluated* already fall back
+        # to the kernel via _coverage_guard; the both-present shape does
+        # too (the two absorb sets interleave).
+        ugate = self._uneval_gate(node, val)
 
         if "type" in node:
             types = [node["type"]] if isinstance(node["type"], str) else list(node["type"])
@@ -290,7 +313,8 @@ class _BaseCompiler:
         # combinators: one fused check each (SURVEY §2.5)
         if "allOf" in node:
             subs = [self.compile(s, val, path) for s in node["allOf"]]
-            checks.extend(c for cs in subs for c in cs)
+            checks.extend(self._gate_checks(
+                [c for cs in subs for c in cs], ugate))
         if "anyOf" in node:
             oks = [ok_of(self.compile(s, val, path)) for s in node["anyOf"]]
             checks.append(Check(_nn(self.v_present(val) & ~reduce(lambda a, b: a | b, oks)),
@@ -306,8 +330,9 @@ class _BaseCompiler:
                                 "more than one branch matched, need exactly 1"))
         if "not" in node:
             sub_ok = ok_of(self.compile(node["not"], val, path))
-            checks.append(Check(_nn(self.v_present(val) & sub_ok), p, "not",
-                                "instance matches 'not' schema"))
+            checks.extend(self._gate_checks(
+                [Check(_nn(self.v_present(val) & sub_ok), p, "not",
+                       "instance matches 'not' schema")], ugate))
         if "if" in node:
             cond = ok_of(self.compile(node["if"], val, path))
             then_ok = ok_of(self.compile(node["then"], val, path)) if "then" in node else F.lit(True)
@@ -315,8 +340,12 @@ class _BaseCompiler:
             fused = F.when(cond, then_ok).otherwise(else_ok)
             checks.append(Check(_nn(self.v_present(val) & ~fused), p, "if",
                                 "conditional schema failed"))
+        # dependentRequired/dependentSchemas/unevaluated* are unknown
+        # keywords in draft7 (ignored); dual-form "dependencies" is
+        # active in every draft (reference-probe verified)
+        post7 = self.dialect != "draft7"
         deps = {}
-        if "dependentRequired" in node:
+        if "dependentRequired" in node and post7:
             deps.update({k: (v, "dependentRequired")
                          for k, v in node["dependentRequired"].items()})
         if "dependencies" in node:
@@ -337,7 +366,7 @@ class _BaseCompiler:
                 kw = "dependentSchemas" if src_kw == "dependentRequired" else src_kw
                 checks.append(Check(_nn(trigger & ~sub_ok), p, kw,
                                     f"schema dependency on {k!r} failed"))
-        if "dependentSchemas" in node:
+        if "dependentSchemas" in node and post7:
             for k, d in node["dependentSchemas"].items():
                 trigger = self.v_has_prop(val, k)
                 sub_ok = ok_of(self.compile(d, val, path))
@@ -351,12 +380,12 @@ class _BaseCompiler:
         # to a set-difference expression (UnevaluatedPropertiesCompiler
         # semantics without runtime annotations). Branch-dependent cases
         # raise ExprUnsupported → kernel fallback.
-        if "unevaluatedProperties" in node:
+        if "unevaluatedProperties" in node and post7:
             names, pats, all_p = self._static_prop_coverage(node, set(), top=True)
             if not all_p:
                 checks.extend(self._c_unevaluated_props(
                     node["unevaluatedProperties"], names, pats, val, path))
-        if "unevaluatedItems" in node:
+        if "unevaluatedItems" in node and post7:
             n_cov, all_i = self._static_item_coverage(node, set(), top=True)
             if not all_i:
                 checks.extend(self._c_unevaluated_items(
@@ -364,6 +393,33 @@ class _BaseCompiler:
         return checks
 
     # -- static annotation resolution for unevaluated* -----------------
+
+    def _uneval_gate(self, node: dict, val) -> Optional[Column]:
+        """The absorb gate for this node's in-place applicator checks:
+        `instance is array` under unevaluatedItems, `instance is object`
+        under unevaluatedProperties, None when neither is active. Both
+        present is a kernel-only shape (unevaluatedItems transforms
+        first and owns the shared keywords; modelling that statically
+        is not worth it)."""
+        if self.dialect == "draft7":
+            return None
+        has_ui = "unevaluatedItems" in node
+        has_up = "unevaluatedProperties" in node
+        if has_ui and has_up:
+            raise ExprUnsupported(
+                "both unevaluated* at one node need the UDF kernel")
+        if has_ui:
+            return self.v_type_is(val, "array")
+        if has_up:
+            return self.v_type_is(val, "object")
+        return None
+
+    @staticmethod
+    def _gate_checks(checks: list[Check], gate: Optional[Column]) -> list[Check]:
+        if gate is None:
+            return checks
+        return [Check(_nn(gate) & c.fail, c.path, c.keyword, c.message)
+                for c in checks]
 
     def _coverage_guard(self, node: dict) -> None:
         for kw in _DYNAMIC_ANNOTATION_KEYWORDS:
@@ -424,7 +480,9 @@ class _BaseCompiler:
             return 0, False
         self._coverage_guard(node)
         if "contains" in node:
-            # 2020-12 contains annotates matched indices at runtime
+            # contains annotates matched indices at runtime — in both
+            # 2019-09 and 2020-12 per the reference
+            # (UnevaluatedItemsCompiler.java:22-24)
             raise ExprUnsupported("unevaluatedItems with contains needs the UDF kernel")
         items = node.get("items")
         count = 0

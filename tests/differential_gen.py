@@ -96,12 +96,24 @@ def _object_schema(rng: random.Random, draft: str, depth: int) -> dict:
         s["patternProperties"] = {rng.choice(PATTERNS): schema(rng, draft, depth - 1)}
     if rng.random() < 0.2:
         s["minProperties"] = rng.randrange(0, 3)
+    if rng.random() < 0.15:
+        s["maxProperties"] = rng.randrange(1, 5)
     if rng.random() < 0.2:
         dep_on, dep_need = rng.choice(KEYS), [rng.choice(KEYS)]
         if draft == "draft7":
             s["dependencies"] = {dep_on: dep_need}
         else:
             s["dependentRequired"] = {dep_on: dep_need}
+    if rng.random() < 0.12:
+        # schema-form dependency (draft7 dual-form / dependentSchemas)
+        dep_on = rng.choice(KEYS)
+        dep_schema = {"required": [rng.choice(KEYS)]}
+        if draft == "draft7":
+            deps = s.setdefault("dependencies", {})
+            if dep_on not in deps:
+                deps[dep_on] = dep_schema
+        else:
+            s["dependentSchemas"] = {dep_on: dep_schema}
     if rng.random() < 0.15:
         s["propertyNames"] = {"pattern": rng.choice(PATTERNS)}
     return s
@@ -138,13 +150,60 @@ def _array_schema(rng: random.Random, draft: str, depth: int) -> dict:
     return s
 
 
+def _dict_sub(rng: random.Random, draft: str, depth: int) -> dict:
+    """A subschema guaranteed to be a dict (identity keywords like
+    ``$anchor``/``$id`` can only be injected into object schemas)."""
+    s = schema(rng, draft, depth)
+    return s if isinstance(s, dict) else _scalar_schema(rng)
+
+
+def _anchor_ref_schema(rng: random.Random, draft: str, depth: int) -> dict:
+    """Plain-name-fragment ``$ref`` resolution: post-draft-7 ``$anchor``,
+    draft-7 ``$id: "#name"`` (reference ``IdKeyword``/anchor registry;
+    engine: core/registry.py anchor map)."""
+    target = _dict_sub(rng, draft, depth - 1)
+    if draft == "draft7":
+        target = {**target, "$id": "#a0"}
+        return {"definitions": {"d0": target}, "$ref": "#a0"}
+    target = {**target, "$anchor": "a0"}
+    return {"$defs": {"d0": target}, "$ref": "#a0"}
+
+
+def _recursive_schema(rng: random.Random, draft: str, depth: int) -> dict:
+    """Self-referential root: draft-7 ``$ref: "#"``, 2019-09
+    ``$recursiveRef``/``$recursiveAnchor``, 2020-12
+    ``$dynamicRef``/``$dynamicAnchor``. Terminates because instances
+    from ``value()`` have bounded depth. The recursion enters through a
+    property or items subschema so scalar instances pass trivially and
+    nested ones actually re-enter the root scope."""
+    if draft == "draft7":
+        inner: dict = {"$ref": "#"}
+    elif draft == "2019-09":
+        inner = {"$recursiveRef": "#"}
+    else:
+        inner = {"$dynamicRef": "#node"}
+    body = _scalar_schema(rng)
+    body.pop("const", None)  # a root const would defeat the recursion
+    body.pop("enum", None)
+    if rng.random() < 0.5:
+        s = {"properties": {rng.choice(KEYS): inner}, **body}
+    else:
+        s = {"items": inner, **body}
+    if draft == "2019-09":
+        s["$recursiveAnchor"] = True
+    elif draft == "2020-12":
+        s["$dynamicAnchor"] = "node"
+    return s
+
+
 def schema(rng: random.Random, draft: str, depth: int = 3, top: bool = False) -> Any:
     """One random schema; ``draft`` in {draft7, 2019-09, 2020-12}.
 
-    ``top`` marks the document root: the ``$ref``-into-definitions
-    construct is only emitted there (a fragment pointer like
-    ``#/definitions/d0`` resolves against the resource root, so a
-    nested copy would dangle — both implementations reject it)."""
+    ``top`` marks the document root: the reference/identity constructs
+    ($ref-into-definitions, $anchor/#name refs, recursive roots) are
+    only emitted there (fragment pointers resolve against the resource
+    root, so a nested copy would dangle — both implementations reject
+    it; a nested $recursiveAnchor would change resolution scope)."""
     if depth <= 0:
         return rng.choice([True, False, _scalar_schema(rng)])
     r = rng.random()
@@ -167,20 +226,47 @@ def schema(rng: random.Random, draft: str, depth: int = 3, top: bool = False) ->
         if rng.random() < 0.6:
             s["else"] = schema(rng, draft, depth - 1)
         return s
-    if r < 0.92 and top:  # $ref into the root definitions container
-        container = "definitions" if draft == "draft7" else "$defs"
-        s = {
-            container: {"d0": schema(rng, draft, depth - 1)},
-            "$ref": f"#/{container}/d0",
-        }
-        if draft != "draft7" and rng.random() < 0.5:
-            # post-draft-7: $ref siblings apply
-            s.update(_scalar_schema(rng))
-        return s
-    if r >= 0.92 and draft != "draft7":  # unevaluatedProperties interaction
-        return {
-            "allOf": [_object_schema(rng, draft, depth - 1)],
-            "unevaluatedProperties":
-                rng.choice([False, schema(rng, draft, depth - 1)]),
-        }
+    if r < 0.92 and top:  # reference / identity constructs
+        rr = rng.random()
+        if rr < 0.5:  # $ref into the root definitions container
+            container = "definitions" if draft == "draft7" else "$defs"
+            s = {
+                container: {"d0": schema(rng, draft, depth - 1)},
+                "$ref": f"#/{container}/d0",
+            }
+            if draft != "draft7" and rng.random() < 0.5:
+                # post-draft-7: $ref siblings apply
+                s.update(_scalar_schema(rng))
+            return s
+        if rr < 0.8:
+            return _anchor_ref_schema(rng, draft, depth)
+        return _recursive_schema(rng, draft, depth)
+    if r >= 0.92 and draft != "draft7":  # unevaluated* interaction
+        rr = rng.random()
+        if rr < 0.4:
+            return {
+                "allOf": [_object_schema(rng, draft, depth - 1)],
+                "unevaluatedProperties":
+                    rng.choice([False, schema(rng, draft, depth - 1)]),
+            }
+        if rr < 0.7:
+            return {
+                "allOf": [_array_schema(rng, draft, depth - 1)],
+                "unevaluatedItems":
+                    rng.choice([False, schema(rng, draft, depth - 1)]),
+            }
+        # absorb-and-skip discriminators: an in-place applicator that can
+        # FAIL on wrong-typed instances, absorbed by a sibling
+        # unevaluated* (the reference skips it for non-array/non-object
+        # instances — see kernel _absorb_group; the jsonschema library
+        # follows the spec and always applies it, so the library
+        # differential filters these shapes out)
+        kw = rng.choice(["unevaluatedProperties", "unevaluatedItems"])
+        inplace = rng.choice([
+            lambda: {"not": schema(rng, draft, depth - 1)},
+            lambda: {"allOf": [_scalar_schema(rng)]},
+            lambda: {"if": _scalar_schema(rng),
+                     "then": _scalar_schema(rng)},
+        ])()
+        return {**inplace, kw: rng.choice([False, True, _scalar_schema(rng)])}
     return _object_schema(rng, draft, depth)
