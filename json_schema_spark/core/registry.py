@@ -72,22 +72,43 @@ for _scheme in ("http", "https"):
 
 
 # keywords whose value is a schema / container of schemas, for the scan
-# walk (mirrors ICompiler.preprocess routing in the reference)
-_MAP_OF_SCHEMAS = ("properties", "patternProperties", "dependentSchemas", "$defs", "definitions")
-_LIST_OF_SCHEMAS = ("allOf", "anyOf", "oneOf", "prefixItems")
-_SINGLE_SCHEMA = (
-    "additionalProperties",
-    "additionalItems",
-    "unevaluatedItems",
-    "unevaluatedProperties",
-    "propertyNames",
-    "not",
-    "if",
-    "then",
-    "else",
-    "contains",
-    "contentSchema",
-)
+# walk — PER DIALECT: the reference routes preprocessing only through
+# the dialect's registered compilers (SchemaPreprocessor.java:223-231),
+# so subschemas under a keyword the draft does not know (e.g. "$defs"
+# in draft7, "definitions" in 2019+, any custom keyword) are NEVER
+# walked and their anchors/$ids are not collected (reference-probe
+# verified: draft7 $defs-anchor $ref is a compile error). Dialect sets
+# follow each compiler's getVocabularies: DefinitionsCompiler=draft-07
+# core only, DefsCompiler=2019+2020, DependenciesCompiler=all three,
+# contentSchema=2019+2020, prefixItems=2020, additionalItems=07+2019.
+_ALL_DIALECTS = frozenset(("draft7", "2019-09", "2020-12"))
+_POST7 = frozenset(("2019-09", "2020-12"))
+_WALK_MAP = {
+    "properties": _ALL_DIALECTS,
+    "patternProperties": _ALL_DIALECTS,
+    "dependentSchemas": _POST7,
+    "$defs": _POST7,
+    "definitions": frozenset(("draft7",)),
+}
+_WALK_LIST = {
+    "allOf": _ALL_DIALECTS,
+    "anyOf": _ALL_DIALECTS,
+    "oneOf": _ALL_DIALECTS,
+    "prefixItems": frozenset(("2020-12",)),
+}
+_WALK_SINGLE = {
+    "additionalProperties": _ALL_DIALECTS,
+    "additionalItems": frozenset(("draft7", "2019-09")),
+    "unevaluatedItems": _POST7,
+    "unevaluatedProperties": _POST7,
+    "propertyNames": _ALL_DIALECTS,
+    "not": _ALL_DIALECTS,
+    "if": _ALL_DIALECTS,
+    "then": _ALL_DIALECTS,
+    "else": _ALL_DIALECTS,
+    "contains": _ALL_DIALECTS,
+    "contentSchema": _POST7,
+}
 
 
 def _unescape_pointer_token(tok: str) -> str:
@@ -164,6 +185,10 @@ class SchemaRegistry:
         # uri -> (dialect, fa) | None | SchemaDialectError (re-raised)
         self._meta_cache: dict[str, Any] = {}
         self._synthetic = 0
+        # duplicate-anchor guard bookkeeping: (kind, base, name) ->
+        # registration pass that last wrote it (see _put_anchor)
+        self._scan_pass = 0
+        self._anchor_pass: dict[tuple[str, str, str], int] = {}
 
     # ------------------------------------------------------------ scan
 
@@ -184,6 +209,7 @@ class SchemaRegistry:
             self._synthetic += 1
             root_uri = f"urn:json-schema-spark:anon:{self._synthetic}"
         self.docs[root_uri] = schema
+        self._scan_pass += 1
         self._scan(schema, root_uri, dialect)
         return root_uri
 
@@ -267,61 +293,127 @@ class SchemaRegistry:
         format-assertion vocabulary (2020-12 custom dialects)."""
         return self._fa_by_nodeid.get(id(node), False)
 
+    def _put_anchor(self, table: dict, base: str, name: str, node: Any,
+                    kind: str) -> None:
+        """Register, rejecting duplicates within one resource
+        (SchemaPreprocessor.java:105,114,133 checkIt 'already exists').
+        The guard is per registration pass: re-adding an
+        already-collected resource (e.g. the executor-side rebuild
+        re-parses each nested-$id subtree as its own doc) overwrites
+        instead of raising."""
+        key = (base, name)
+        meta = (kind, base, name)
+        if (table.get(key) is not node
+                and self._anchor_pass.get(meta) == self._scan_pass):
+            raise SchemaCompileError(
+                f"the {kind} {name!r} already exists in resource {base!r}")
+        table[key] = node
+        self._anchor_pass[meta] = self._scan_pass
+
     def _scan(self, node: Any, base: str, dialect: str, fa: bool = False) -> None:
         if isinstance(node, bool) or not isinstance(node, dict):
             return
         info = self._dialect_info(node)
         if info is not None:
             dialect, fa = info
-        nid = node.get("$id") if isinstance(node.get("$id"), str) else None
-        if nid is None and dialect == "draft7" and isinstance(node.get("id"), str):
-            nid = node["id"]
-        if nid is not None:
-            if nid.startswith("#") and dialect == "draft7":
-                # draft-07 fragment-only $id == anchor
-                self.anchors[(base, nid[1:])] = node
-            else:
-                new_uri = _strip_fragment(_resolve_uri(base, nid))
-                frag = urllib.parse.urlsplit(nid).fragment
-                if new_uri and new_uri != base:
-                    self.docs[new_uri] = node
-                    base = new_uri
-                if frag:
-                    self.anchors[(base, frag)] = node
+        post7 = dialect != "draft7"
+
+        # --- $id (SchemaPreprocessor.java:32-64,195-199) ---------------
+        rawid = node.get("$id", _MISSING)
+        resource_id: Optional[str] = None
+        if rawid is not _MISSING:
+            if not post7:
+                # draft-7 reads textValue() unconditionally: a
+                # non-string $id is a compile error (NPE-as-checkIt)
+                if not isinstance(rawid, str):
+                    raise SchemaCompileError("the draft-7 $id must be a string")
+                if rawid.startswith("#"):
+                    # plain-name anchor form — registered even beside a
+                    # $ref sibling (the plain-id path at :195-199 runs
+                    # independently of optId)
+                    if len(rawid) <= 1:
+                        raise SchemaCompileError("empty plain $id")
+                    self._put_anchor(self.anchors, base, rawid[1:], node,
+                                     "plain $id")
+                elif "$ref" not in node:
+                    # draft-7 resource-$id beside $ref is ignored
+                    # (isValidIdInEarlyVersions, :54-64)
+                    resource_id = rawid
+            elif isinstance(rawid, str):
+                # post-draft-7: a non-string $id is silently ignored
+                # (optId filters isTextual, :47-52)
+                resource_id = rawid
+        if resource_id is not None:
+            if urllib.parse.urlsplit(resource_id).fragment:
+                # resolveId checkIt (:35): a resource $id must not
+                # carry a non-empty fragment (empty '#' is fine)
+                raise SchemaCompileError(
+                    f"the $id {resource_id!r} can't contain a fragment")
+            new_uri = _strip_fragment(_resolve_uri(base, resource_id))
+            if new_uri and new_uri != base:
+                self.docs[new_uri] = node
+                base = new_uri
         self._base_by_nodeid[id(node)] = base
         self._dialect_by_nodeid[id(node)] = dialect
         if fa:
             self._fa_by_nodeid[id(node)] = True
 
-        anch = node.get("$anchor")
-        if isinstance(anch, str):
-            self.anchors[(base, anch)] = node
-        dyn = node.get("$dynamicAnchor")
-        if isinstance(dyn, str):
-            self.dynamic_anchors[(base, dyn)] = node
+        # --- anchors: strictly per-dialect (each keyword's compiler
+        # registers only its own draft's vocabulary; elsewhere it is an
+        # unknown keyword, ignored even with a malformed argument) ------
+        if "$anchor" in node and post7:
+            anch = node["$anchor"]
+            if not isinstance(anch, str):
+                raise SchemaCompileError("the $anchor must be a string")
+            self._put_anchor(self.anchors, base, anch, node, "$anchor")
+        if "$dynamicAnchor" in node and dialect == "2020-12":
+            dyn = node["$dynamicAnchor"]
+            if not isinstance(dyn, str):
+                raise SchemaCompileError("the $dynamicAnchor must be a string")
+            self._put_anchor(self.dynamic_anchors, base, dyn, node,
+                             "$dynamicAnchor")
+            # a $dynamicAnchor is also a plain $ref target
             self.anchors.setdefault((base, dyn), node)
-        if node.get("$recursiveAnchor") is True and self.docs.get(base) is node:
-            self.recursive_roots.add(base)
+        if "$recursiveAnchor" in node and dialect == "2019-09":
+            ra = node["$recursiveAnchor"]
+            if not isinstance(ra, bool):
+                raise SchemaCompileError("the $recursiveAnchor must be a boolean")
+            # the reference marks the ENCLOSING RESOURCE, wherever the
+            # keyword sits (onRecursiveAnchor resolves getSubSchema(
+            # parentId) and markRecursiveAnchor overwrites — last seen
+            # in walk order wins; reference-probe verified with a
+            # nested-in-$defs marker changing $recursiveRef landing)
+            if ra:
+                self.recursive_roots.add(base)
+            else:
+                self.recursive_roots.discard(base)
 
-        for kw in _MAP_OF_SCHEMAS:
+        for kw, dialects in _WALK_MAP.items():
+            if dialect not in dialects:
+                continue
             sub = node.get(kw)
             if isinstance(sub, dict):
                 for v in sub.values():
                     self._scan(v, base, dialect, fa)
-        for kw in _LIST_OF_SCHEMAS:
+        for kw, dialects in _WALK_LIST.items():
+            if dialect not in dialects:
+                continue
             sub = node.get(kw)
             if isinstance(sub, list):
                 for v in sub:
                     self._scan(v, base, dialect, fa)
-        for kw in _SINGLE_SCHEMA:
-            if kw in node:
+        for kw, dialects in _WALK_SINGLE.items():
+            if dialect in dialects and kw in node:
                 self._scan(node[kw], base, dialect, fa)
         items = node.get("items")
         if isinstance(items, list):
-            for v in items:
-                self._scan(v, base, dialect, fa)
+            # list-form items is a schema position only pre-2020-12
+            # (Items2020's preprocess skips non-object nodes)
+            if dialect != "2020-12":
+                for v in items:
+                    self._scan(v, base, dialect, fa)
         elif items is not None:
-            self._scan(items, base, dialect)
+            self._scan(items, base, dialect, fa)
         deps = node.get("dependencies")
         if isinstance(deps, dict):
             for v in deps.values():
@@ -369,6 +461,7 @@ class SchemaRegistry:
         if fragment.startswith("/"):
             node = json_pointer_get(doc, fragment)
             if isinstance(node, dict) and id(node) not in self._base_by_nodeid:
+                self._scan_pass += 1
                 self._scan(node, doc_uri, self.dialect_of_node(doc))
             return node
         key = (doc_uri, fragment)

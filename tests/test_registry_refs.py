@@ -86,3 +86,78 @@ def test_unresolvable_ref_raises():
             config=CompileConfig(dialect="draft7"),
         )
         cs.is_valid(1)  # compile- or apply-time failure both acceptable
+
+
+# ---------------------------------------------------------------------------
+# Per-dialect identity-keyword registration (round 4, reference-probe
+# verified against the compiled reference; SchemaPreprocessor.java:32-64,
+# 99-140,195-221). Each case: (schema, instance, dialect, expected) with
+# expected "t"/"f" = verdict, "c" = SchemaCompileError.
+_REGISTRATION_CASES = [
+    # $anchor is post-draft-7; draft-7 ignores it even malformed
+    ({"definitions": {"d0": {"$anchor": "a0"}}, "type": "string"}, "x", "draft7", "t"),
+    ({"definitions": {"d0": {"$anchor": 5}}, "type": "string"}, "x", "draft7", "t"),
+    ({"definitions": {"d0": {"$anchor": "a0", "type": "string"}}, "$ref": "#a0"}, "x", "draft7", "c"),
+    ({"$defs": {"d0": {"$anchor": 5}}, "type": "string"}, "x", "2019-09", "c"),
+    ({"$defs": {"d0": {"$anchor": "a0", "type": "string"}}, "$ref": "#a0"}, 5, "2019-09", "f"),
+    ({"$defs": {"d0": {"$anchor": "has space"}}, "type": "string"}, "x", "2020-12", "t"),
+    # plain-name $id is draft-7-only; post-draft-7 any non-empty
+    # fragment in a resource $id is a compile error, empty '#' is fine
+    ({"definitions": {"d0": {"$id": "#a0", "type": "string"}}, "$ref": "#a0"}, 5, "draft7", "f"),
+    ({"definitions": {"d0": {"$id": "#"}}, "type": "string"}, "x", "draft7", "c"),
+    ({"definitions": {"d0": {"$id": "https://e.com/x#frag"}}, "type": "string"}, "x", "draft7", "c"),
+    ({"$defs": {"d0": {"$id": "#a0", "type": "string"}}, "$ref": "#a0"}, "x", "2019-09", "c"),
+    ({"$defs": {"d0": {"$id": "https://e.com/x#"}}, "type": "string"}, "x", "2019-09", "t"),
+    ({"$defs": {"d0": {"$id": "https://e.com/x#/foo"}}, "type": "string"}, "x", "2020-12", "c"),
+    ({"$id": "#rootfrag", "type": "string"}, "x", "2019-09", "c"),
+    # non-string $id: compile error in draft-7 (reference NPE-as-checkIt),
+    # silently ignored post-draft-7 (optId filters isTextual)
+    ({"definitions": {"d0": {"$id": 5}}, "type": "string"}, "x", "draft7", "c"),
+    ({"$defs": {"d0": {"$id": 5}}, "type": "string"}, "x", "2019-09", "t"),
+    # draft-7 resource-$id beside $ref is ignored; plain $id still registers
+    ({"definitions": {"d0": {"$id": "#a0", "$ref": "#/definitions/d1"},
+                      "d1": {"type": "number"}}, "$ref": "#a0"}, "x", "draft7", "f"),
+    # $dynamicAnchor is 2020-12-only (also a plain $ref target there)
+    ({"$defs": {"d0": {"$dynamicAnchor": "a0", "type": "number"}}, "$ref": "#a0"}, 5, "2020-12", "t"),
+    ({"$defs": {"d0": {"$dynamicAnchor": 5}}, "type": "string"}, "x", "2020-12", "c"),
+    ({"$defs": {"d0": {"$dynamicAnchor": 5}}, "type": "string"}, "x", "2019-09", "t"),
+    ({"$defs": {"d0": {"$recursiveAnchor": True, "type": "number"}}, "$ref": "#a0"}, 5, "2019-09", "c"),
+    # $recursiveAnchor is 2019-09-only; malformed is a compile error there
+    ({"$defs": {"d0": {"$recursiveAnchor": "x"}}, "type": "string"}, "x", "2019-09", "c"),
+    ({"$defs": {"d0": {"$recursiveAnchor": "x"}}, "type": "string"}, "x", "2020-12", "t"),
+    # duplicate anchors within one resource are a compile error
+    ({"$defs": {"a": {"$anchor": "dup"}, "b": {"$anchor": "dup"}}, "type": "string"}, "x", "2020-12", "c"),
+    # registration walks only the dialect's OWN schema containers:
+    # $defs is unknown in draft7, definitions unknown post-draft-7,
+    # custom keywords never walked
+    ({"$defs": {"d0": {"$id": "#a0", "type": "string"}}, "$ref": "#a0"}, "x", "draft7", "c"),
+    ({"definitions": {"d0": {"$anchor": "a0", "type": "number"}}, "$ref": "#a0"}, 5, "2020-12", "c"),
+    ({"myCustom": {"$anchor": "a0", "type": "number"}, "$ref": "#a0"}, 5, "2020-12", "c"),
+    ({"properties": {"p": {"$anchor": "a0", "type": "number"}}, "$ref": "#a0"}, "x", "2020-12", "f"),
+    # a nested $recursiveAnchor marks its ENCLOSING RESOURCE
+    ({"$defs": {"marker": {"$recursiveAnchor": True},
+                "inner": {"$id": "https://e.com/inner", "$recursiveAnchor": True,
+                          "type": "object",
+                          "properties": {"a": {"$recursiveRef": "#"}}}},
+      "$ref": "https://e.com/inner",
+      "properties": {"extra": {"type": "string"}}}, {"a": {"extra": 5}}, "2019-09", "f"),
+    ({"$defs": {"inner": {"$id": "https://e.com/inner", "$recursiveAnchor": True,
+                          "type": "object",
+                          "properties": {"a": {"$recursiveRef": "#"}}}},
+      "$ref": "https://e.com/inner",
+      "properties": {"extra": {"type": "string"}}}, {"a": {"extra": 5}}, "2019-09", "t"),
+]
+
+
+@pytest.mark.parametrize("schema,data,dialect,expected", [
+    pytest.param(*c, id=f"{c[2]}-{i}") for i, c in enumerate(_REGISTRATION_CASES)
+])
+def test_identity_registration_per_dialect(schema, data, dialect, expected):
+    from json_schema_spark.core.registry import SchemaCompileError as RegErr
+    from json_schema_spark.core.validator import SchemaCompileError as ValErr
+    try:
+        cs = compile_schema(schema, config=CompileConfig(dialect=dialect))
+        got = "t" if cs.is_valid(data) else "f"
+    except (RegErr, ValErr):
+        got = "c"
+    assert got == expected, f"{schema} {data!r}"
