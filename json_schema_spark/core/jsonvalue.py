@@ -38,9 +38,33 @@ __all__ = [
 JSON_TYPES = ("null", "boolean", "string", "number", "integer", "array", "object")
 
 
+def _reject_constant(token: str) -> Any:
+    # Jackson rejects the non-standard Infinity/NaN tokens by default;
+    # Python's json accepts them — match Jackson (parse error)
+    raise ValueError(f"invalid JSON token {token!r}")
+
+
+def double_canonical(lexeme_or_float) -> Decimal:
+    """Jackson parses JSON float literals to DOUBLE first (lossy beyond
+    ~17 significant digits; overflow → ±Infinity, underflow → 0.0), and
+    the engine's exact-decimal arithmetic runs on
+    ``BigDecimal.valueOf(double)`` — the double's shortest round-trip
+    decimal form. ``repr(float)`` is Python's exact equivalent.
+    Reference-probe verified: ``1.0000000000000000000000000001`` IS a
+    ``multipleOf`` itself and an integer (== 1.0), ``1e-330`` == 0,
+    ``const: 1e309`` accepts ``1e309`` (Infinity == Infinity)."""
+    f = float(lexeme_or_float)
+    if f != f or f in (float("inf"), float("-inf")):
+        return Decimal(f)  # ±Infinity / NaN pass through
+    return Decimal(repr(f))
+
+
 def parse_json(text: str) -> Any:
-    """Parse JSON preserving exact numeric literals (floats → Decimal)."""
-    return json.loads(text, parse_float=Decimal)
+    """Parse JSON with the reference's number model: integer literals
+    exact (Jackson Int/Long/BigInteger ≙ Python int), float literals
+    double-canonical Decimals (see ``double_canonical``)."""
+    return json.loads(text, parse_float=double_canonical,
+                      parse_constant=_reject_constant)
 
 
 def is_number(v: Any) -> bool:
@@ -59,15 +83,18 @@ def to_decimal(v: Any) -> Decimal:
 
 
 def is_integerish(v: Any) -> bool:
-    """True when a JSON number has zero fractional part (1.0 counts)."""
+    """True when a JSON number has zero fractional part (1.0 counts).
+    Non-finite values are not integers (the reference throws converting
+    an Infinity to BigDecimal — a data engine returns a verdict, see
+    SURVEY §4.3 #11)."""
     if isinstance(v, bool):
         return False
     if isinstance(v, int):
         return True
     if isinstance(v, Decimal):
-        return v == v.to_integral_value()
+        return v.is_finite() and v == v.to_integral_value()
     if isinstance(v, float):
-        return v.is_integer()
+        return v == v and abs(v) != float("inf") and v.is_integer()
     return False
 
 
@@ -130,6 +157,8 @@ def canon_key(v: Any) -> Any:
         return ("b", v)
     if is_number(v):
         d = to_decimal(v)
+        if d.is_zero():
+            return ("n", 0)  # BigDecimal compareTo: 0 == -0.0
         sign, digits, exp = d.normalize().as_tuple()
         return ("n", sign, digits, exp)
     if isinstance(v, str):
@@ -157,12 +186,16 @@ def strict_key(v: Any) -> Any:
         return ("b", v)
     if isinstance(v, int):
         return ("i", v)
-    if isinstance(v, float):
-        return ("f", v)
-    if isinstance(v, Decimal):
-        # Decimal only enters via user-constructed instances; Jackson
-        # would model it as a DecimalNode — keep it its own family
-        return ("D", v)
+    if isinstance(v, (float, Decimal)):
+        # one DoubleNode-like family: every float literal — whether it
+        # arrives as a Python float (schema authored in Python / plain
+        # json.loads) or as a parse_json double-canonical Decimal —
+        # compares by its double value, mirroring DoubleNode.equals
+        d = double_canonical(v)
+        if d.is_nan():
+            return ("d", "NaN")  # Decimal NaN is unhashable; Jackson
+            # DoubleNode(NaN).equals(NaN) is true (Double.equals)
+        return ("d", d)
     if isinstance(v, str):
         return ("s", v)
     if v is None:
@@ -205,7 +238,10 @@ def canonical_json(v: Any) -> str:
         if isinstance(x, bool) or x is None or isinstance(x, str):
             return x
         if is_number(x):
-            d = to_decimal(x).normalize()
+            d = to_decimal(x)
+            if not d.is_finite():
+                return float(d)
+            d = d.normalize()
             if d == d.to_integral_value() and abs(d.as_tuple().exponent) < 16:
                 return int(d)
             return float(d)

@@ -1070,7 +1070,7 @@ class _Compiler:
             if isinstance(v, bool) or not is_number(v):
                 bad(kw, "must be an integer")
             d = to_decimal(v)
-            if d != d.to_integral_value():
+            if not d.is_finite() or d != d.to_integral_value():
                 bad(kw, "must be an integer")  # Utils.getCheckedInteger
             if d < 0:
                 bad(kw, "must be non-negative")  # e.g. MinItemsCompiler:33
@@ -1088,12 +1088,17 @@ class _Compiler:
             if kw in node:
                 chk_int(kw)
         for kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
-            if kw in node and (isinstance(node[kw], bool) or not is_number(node[kw])):
-                bad(kw, "must be a number")  # BaseNumberCompiler:22
+            if kw in node and (isinstance(node[kw], bool) or not is_number(node[kw])
+                               or not to_decimal(node[kw]).is_finite()):
+                # non-finite (a float literal beyond double range, e.g.
+                # 1e309): the reference's BigDecimal conversion throws
+                # at compile (reference-probe verified 'c')
+                bad(kw, "must be a finite number")  # BaseNumberCompiler:22
         if "multipleOf" in node:
             v = node["multipleOf"]
-            if isinstance(v, bool) or not is_number(v) or to_decimal(v) <= 0:
-                bad("multipleOf", "must be a positive number")  # MultipleOfCompiler:35-38
+            if (isinstance(v, bool) or not is_number(v)
+                    or not to_decimal(v).is_finite() or to_decimal(v) <= 0):
+                bad("multipleOf", "must be a positive finite number")  # MultipleOfCompiler:35-38
         if "uniqueItems" in node and not isinstance(node["uniqueItems"], bool):
             bad("uniqueItems", "must be a boolean")  # UniqueItemsCompiler:36
         ref_kws = ["$ref", "pattern"]
@@ -1112,6 +1117,13 @@ class _Compiler:
                 bad("enum", "must be a non-empty array")  # EnumCompiler:41-42
             seen = set()
             for m in v:
+                if is_number(m) and not isinstance(m, bool) and \
+                        not to_decimal(m).is_finite():
+                    # TreeSet comparator converts members to BigDecimal
+                    # — non-finite throws at compile (probe-verified 'c'
+                    # for enum: [1e309]; const has no such conversion
+                    # and accepts Infinity)
+                    bad("enum", "members must be finite numbers")
                 k = canon_key(m)
                 if k in seen:
                     # the TreeSet insert throws on a (numerically

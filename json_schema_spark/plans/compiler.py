@@ -44,6 +44,18 @@ __all__ = ["Check", "ExprUnsupported", "VariantCompiler", "TypedRowCompiler", "D
 
 DEC = "decimal(38,18)"  # exact-decimal keyword arithmetic (SURVEY §1.1)
 
+
+def _fits_dec(d: "Decimal") -> bool:
+    """True when ``d`` is exactly representable in decimal(38,18) — 20
+    integral digits, 18 fractional. Literals outside this range must
+    not be cast to DEC (ANSI mode raises ArithmeticException; non-ANSI
+    silently rounds tiny scales to 0, breaking comparisons)."""
+    if not d.is_finite():
+        return False
+    t = d.normalize().as_tuple()
+    scale = max(0, -t.exponent)
+    return scale <= 18 and abs(d) < Decimal(10) ** 20
+
 _SAFE_KEY = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
@@ -129,13 +141,28 @@ class _BaseCompiler:
 
     def _num_check(self, val, build: Callable[[Column], Column]) -> Column:
         """Numeric predicate with exact-decimal semantics and a double
-        fallback for magnitudes outside decimal(38,18) (the reference
-        uses unbounded BigDecimal — ``BaseNumberCompiler.java:24``; a
-        JSON number beyond 38 digits was parsed from a double anyway,
-        so double comparison is exact there)."""
+        fallback for values outside decimal(38,18) (the reference uses
+        unbounded BigDecimal — ``BaseNumberCompiler.java:24``; a JSON
+        float was parsed from a double anyway, so double comparison is
+        exact there). The decimal branch is gated on a double
+        ROUND-TRIP, not just non-null: DEC silently rounds tiny scales
+        (1e-30 → 0E-18), which would turn e.g. exclusiveMinimum 0 into
+        a false pass."""
         dec = self.v_as_number(val)
         dbl = self.v_as_number_dbl(val)
-        return F.when(dec.isNotNull(), build(dec)).otherwise(build(dbl))
+        return F.when(dec.isNotNull() & dec.cast("double").eqNullSafe(dbl),
+                      build(dec)).otherwise(build(dbl))
+
+    def _dec_lit(self, v, kw: str) -> Column:
+        """Schema numeric literal as a DEC column; outside the exact
+        decimal(38,18) range the whole schema goes to the kernel
+        (double-domain comparison could diverge for exact big
+        integers, and ANSI casts of oversized literals throw)."""
+        d = to_decimal(v)
+        if not _fits_dec(d):
+            raise ExprUnsupported(
+                f"{kw} literal {v!r} outside decimal(38,18) needs the UDF kernel")
+        return F.lit(d).cast(DEC)
 
     def _regex(self, pattern: str) -> str:
         """Validate ``pattern`` for the JVM ``rlike`` path and return it
@@ -275,7 +302,7 @@ class _BaseCompiler:
             if kw in node:
                 if isinstance(node[kw], bool):
                     raise ExprUnsupported("draft-04 boolean exclusive bounds unsupported")
-                bound = F.lit(to_decimal(node[kw])).cast(DEC)
+                bound = self._dec_lit(node[kw], kw)
                 cmpc = self._num_check(
                     val,
                     lambda num, _op=op, _b=bound: {"<": num < _b, "<=": num <= _b,
@@ -284,7 +311,7 @@ class _BaseCompiler:
                 checks.append(Check(_nn(self.v_is_number(val) & ~_nn(cmpc)), p, kw,
                                     f"violates {kw} {node[kw]}"))
         if "multipleOf" in node:
-            m = F.lit(to_decimal(node["multipleOf"])).cast(DEC)
+            m = self._dec_lit(node["multipleOf"], "multipleOf")
             ok = self._num_check(val, lambda num: num % m == 0)
             checks.append(Check(_nn(self.v_is_number(val) & ~_nn(ok)), p, "multipleOf",
                                 f"not a multiple of {node['multipleOf']}"))
@@ -557,7 +584,7 @@ class _BaseCompiler:
                 conds.append(self.v_is_string(val) & (self.v_as_string(val) == F.lit(m)))
             elif isinstance(m, (int, float, Decimal)):
                 conds.append(self.v_is_number(val)
-                             & (self.v_as_number(val) == F.lit(to_decimal(m)).cast(DEC)))
+                             & self._num_check(val, lambda n, _m=self._dec_lit(m, kw): n == _m))
             else:
                 raise ExprUnsupported(f"{kw} with composite member needs the UDF kernel")
         any_ok = reduce(lambda a, b: a | b, [_nn(c) for c in conds])
@@ -930,7 +957,10 @@ class TypedRowCompiler(_BaseCompiler):
 
     def v_as_number(self, val) -> Column:
         col, dt, fields = val
-        return col.cast(DEC)
+        # try_cast: a double column can hold magnitudes beyond
+        # decimal(38,18); ANSI cast would throw, try_cast yields NULL
+        # and _num_check falls to the double branch
+        return col.try_cast(DEC)
 
     def v_as_number_dbl(self, val) -> Column:
         col, dt, fields = val
@@ -1204,8 +1234,14 @@ class TypedRowCompiler(_BaseCompiler):
         if node.get("uniqueItems") is True:
             if isinstance(et, (T.ArrayType, T.StructType, T.MapType)):
                 canon = F.transform(col, F.to_json)
-            elif isinstance(et, _NUMERIC):
+            elif isinstance(et, T.DecimalType):
+                # normalize scale within the (bounded, ≤38-digit) type
                 canon = F.transform(col, lambda x: x.cast(DEC).cast("string"))
+            elif isinstance(et, _NUMERIC):
+                # one physical type per column: plain string form is a
+                # faithful value key, and never overflows (a DEC cast
+                # would throw under ANSI for big doubles)
+                canon = F.transform(col, lambda x: x.cast("string"))
             else:
                 canon = col
             checks.append(Check(_nn(is_arr & (F.size(F.array_distinct(canon)) != F.size(col))),

@@ -37,7 +37,10 @@ KEYS = ["a", "b", "c", "k"]
 # javaregex_dialect corpus, which the library gate skips)
 STRS = ["", "x", "ab", "abc", "hello world", "Zz9", "aXa",
         "٣٤", "Ünïcode", "é", "数字12", "۴۵x", "b\n"]
-NUMS = [0, 1, -1, 2, 3, 5, 10, 100, 1.0, 2.5, -0.5]
+NUMS = [0, 1, -1, 2, 3, 5, 10, 100, 1.0, 2.5, -0.5,
+        # number-model discriminators (double-first float parsing,
+        # exact big integers, -0, shortest-roundtrip decimals)
+        -0.0, 0.30000000000000004, 1e15, 10**20, 2**63 - 1]
 PATTERNS = ["^a", "b$", "[0-9]+", "^[a-z]{2,4}$", "c", "^Z",
             "^\\d+$", "\\w", "^\\d"]
 SCALARS: list[Any] = [None, True, False, *NUMS, *STRS]
