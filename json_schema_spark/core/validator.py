@@ -833,6 +833,7 @@ class _Compiler:
             evaluated = []
             for k, v in inst.items():
                 matched = False
+                succeeded = False
                 sub = prop_subs.get(k)
                 if sub is not None:
                     matched = True
@@ -843,6 +844,8 @@ class _Compiler:
                             return False
                         if errs:
                             errors.extend(errs)
+                    else:
+                        succeeded = True
                 for rx, psub in pat_subs:
                     if rx(k):
                         matched = True
@@ -853,8 +856,25 @@ class _Compiler:
                                 return False
                             if errs:
                                 errors.extend(errs)
+                        else:
+                            succeeded = True
                 if matched:
                     evaluated.append(k)
+                    # reference absorb (AdditionalPropertiesCompiler
+                    # .java:75-95): per-FIELD success annotations gate
+                    # the finisher, so a declared key whose every
+                    # matching subschema FAILED is re-validated against
+                    # additionalProperties and those errors surface too.
+                    # Error-surface only — the block already failed, the
+                    # verdict cannot change (fast path skips this).
+                    if (not succeeded and add_sub is not None
+                            and errors is not None):
+                        s_ok, errs, _ = add_sub(v, path + (k,), scope)
+                        if not s_ok:
+                            self._err(errors, path + (k,), "additionalProperties",
+                                      f"additional property {k!r} invalid")
+                            if errs:
+                                errors.extend(errs)
                 elif add_sub is not None:
                     s_ok, errs, _ = add_sub(v, path + (k,), scope)
                     if not s_ok:
@@ -937,9 +957,25 @@ class _Compiler:
         else:
             tuple_subs = None
             single_sub = self._sub(items) if items is not None else None
-        # additionalItems only applies with tuple-form items
-        add_sub = self._sub(additional) if additional is not None and tuple_subs is not None else None
+        # additionalItems is absorbed by items in ANY form (the 2019
+        # AdditionalItemsCompiler transform pulls "items" regardless of
+        # shape and is dropped when items is absent); with single-form
+        # items it only ever re-validates FAILED indices (error surface)
+        add_sub = self._sub(additional) if additional is not None and items is not None else None
         nt = len(tuple_subs) if tuple_subs else 0
+
+        def absorb(i, v, path, scope, errors):
+            # reference absorb (v2019/AdditionalItemsCompiler.java:71-96):
+            # per-INDEX success annotations gate the finisher, so a
+            # position whose items subschema FAILED is re-validated
+            # against additionalItems and those errors surface too.
+            # Error-surface only — the verdict is already false.
+            s_ok, errs, _ = add_sub(v, path + (i,), scope)
+            if not s_ok:
+                self._err(errors, path + (i,), "additionalItems",
+                          f"item {i} invalid against additionalItems")
+                if errs:
+                    errors.extend(errs)
 
         def kv(inst, path, scope, ann, errors):
             if not isinstance(inst, list):
@@ -954,6 +990,8 @@ class _Compiler:
                             return False
                         if errs:
                             errors.extend(errs)
+                        if add_sub is not None:
+                            absorb(i, v, path, scope, errors)
                 if ok and ann is not None:
                     ann[3] = True
                 return ok
@@ -968,6 +1006,8 @@ class _Compiler:
                             return False
                         if errs:
                             errors.extend(errs)
+                        if add_sub is not None:
+                            absorb(i, inst[i], path, scope, errors)
                 if add_sub is not None:
                     for i in range(nt, len(inst)):
                         s_ok, errs, _ = add_sub(inst[i], path + (i,), scope)

@@ -71,21 +71,32 @@ public class RefProbe {
                 if (result.isOk()) {
                     out.append("t\n");
                 } else {
-                    // verdict plus the sorted unique EErrorType set
-                    // (read reflectively: ValidationError keeps the
-                    // enum private) for the error-kind differential
+                    // verdict plus the sorted unique KIND@b64(pointer)
+                    // pairs (errorType read reflectively: ValidationError
+                    // keeps the enum private; pointer = the error's
+                    // instance JsonPointer) for the kind + instance-
+                    // pointer differentials
+                    Base64.Encoder enc = Base64.getEncoder();
                     java.util.TreeSet<String> kinds = new java.util.TreeSet<>();
                     result.asStream()
                         .filter(r -> r.getType()
                             == io.github.georgeakulov.json_schema.results.IValidationResult.Type.ERROR)
                         .forEach(r -> {
+                            String kind;
                             try {
                                 var fld = r.getClass().getDeclaredField("errorType");
                                 fld.setAccessible(true);
-                                kinds.add(String.valueOf(fld.get(r)));
+                                kind = String.valueOf(fld.get(r));
                             } catch (Exception ignore) {
-                                kinds.add("?");
+                                kind = "?";
                             }
+                            String ptr = "?";
+                            try {
+                                ptr = String.valueOf(r.getId().getInstanceRef());
+                            } catch (Exception ignore) {
+                            }
+                            kinds.add(kind + "@" + enc.encodeToString(
+                                ptr.getBytes(StandardCharsets.UTF_8)));
                         });
                     out.append("f:").append(String.join(",", kinds)).append('\n');
                 }

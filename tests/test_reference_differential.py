@@ -171,6 +171,18 @@ def build_reference_probe(root: pathlib.Path):
     return run
 
 
+def _ref_pairs(got: str) -> set[tuple[str, str]]:
+    """Parse a kinds=True 'f:KIND@b64ptr,...' verdict into a set of
+    (EErrorType name, instance JSON pointer) pairs."""
+    if len(got) <= 2:
+        return set()
+    pairs = set()
+    for tok in got[2:].split(","):
+        kind, _, b64 = tok.partition("@")
+        pairs.add((kind, base64.b64decode(b64).decode("utf-8")))
+    return pairs
+
+
 # kept for importers that want the builder directly; the shared fixture
 # lives in conftest.py (session scope — one javac for all modules)
 
@@ -359,7 +371,7 @@ def test_error_kinds_cover_the_reference(ref):
             continue
         if (fid, gdesc, tdesc) in kind_divergences:
             continue
-        ref_kinds = set(got[2:].split(",")) if len(got) > 2 else set()
+        ref_kinds = {k for k, _ in _ref_pairs(got)}
         try:
             kernel = compile_schema(
                 json.loads(s), dialect=d,
@@ -380,6 +392,109 @@ def test_error_kinds_cover_the_reference(ref):
         f"{len(missing)}/{checked} failing cases MISS a reference error "
         f"kind; first 10: {missing[:10]}")
     assert checked > 250 and exact / checked > 0.8, (checked, exact)
+
+def test_error_pointers_match_the_reference(ref):
+    """Instance-pointer differential: for every failing corpus case,
+    every (EErrorType, instance JSON pointer) pair the reference emits
+    must appear among our violation (kind, path) pairs — i.e. each
+    reference error is reported at the SAME place in the instance —
+    and the pair sets must be exactly equal for most cases (the engine
+    additionally emits applicator-context violations the reference's
+    flattened tree does not, so subset is the hard gate)."""
+    from json_schema_spark.core.errors import error_kind_of
+    from json_schema_spark.core.validator import CompileConfig, compile_schema
+
+    cases = [c for c in _corpus_cases() if not c[7]]
+    verdicts = ref([(s, i, d, fmt) for _, _, _, s, i, d, fmt, _ in cases],
+                   kinds=True)
+    missing = []
+    exact = checked = 0
+    for (fid, gdesc, tdesc, s, i, d, fmt, _), got in zip(cases, verdicts):
+        if not got.startswith("f:"):
+            continue
+        if (fid, gdesc, tdesc) in _POINTER_DIVERGENCES:
+            continue
+        ref_pairs = _ref_pairs(got)
+        try:
+            kernel = compile_schema(
+                json.loads(s), dialect=d,
+                config=CompileConfig(dialect=d, format_assertions=fmt))
+            ok, errs = kernel.validate_json(i)
+        except Exception:
+            continue
+        if ok:
+            continue  # verdict parity is the other test's job
+        mine = {(error_kind_of(kw, msg).name, path)
+                for path, kw, msg in (errs or [])}
+        checked += 1
+        if ref_pairs <= mine:
+            exact += ref_pairs == mine
+        else:
+            missing.append((fid, gdesc, tdesc, sorted(ref_pairs - mine),
+                            sorted(mine)))
+    assert not missing, (
+        f"{len(missing)}/{checked} failing cases MISS a reference "
+        f"(kind, pointer) pair; first 10: {missing[:10]}")
+    assert checked > 250 and exact / checked > 0.7, (checked, exact)
+
+
+# (file id, group desc, test desc) triples where the reference's error
+# POINTER is either undefined or a documented defect — populated as the
+# differential surfaces them; keep kind divergences in sync with
+# test_error_kinds_cover_the_reference.
+_POINTER_DIVERGENCES = {
+    ("draft7/edgecases", "tuple items with additionalItems false",
+     "wrong positional type"),
+}
+
+
+@pytest.mark.parametrize("draft,seed", [
+    ("draft7", 201), ("2019-09", 202), ("2020-12", 203),
+])
+def test_error_pointers_generated_schemas(ref, draft, seed):
+    """Instance-pointer differential over GENERATED schemas — the
+    corpus alone missed the reference's additionalProperties /
+    additionalItems absorb (failed positions are re-validated against
+    the additional* schema and those errors surface at the same
+    pointers). Subset is the hard gate; extras are ours by design."""
+    from json_schema_spark.core.errors import error_kind_of
+    from json_schema_spark.core.validator import CompileConfig, compile_schema
+
+    rng = random.Random(f"ptr-{draft}-{seed}")
+    cases, kernels = [], []
+    for _ in range(250):
+        sch = gen.schema(rng, draft, top=True)
+        try:
+            kernel = compile_schema(sch, config=CompileConfig(dialect=draft))
+        except Exception:
+            continue
+        sj = json.dumps(sch)
+        for _ in range(6):
+            doc = gen.value(rng)
+            cases.append((sj, json.dumps(doc), draft, False))
+            kernels.append((kernel, doc))
+    verdicts = ref(cases, kinds=True)
+    checked = exact = 0
+    missing = []
+    for (kernel, doc), got in zip(kernels, verdicts):
+        if not got.startswith("f:"):
+            continue
+        ref_pairs = _ref_pairs(got)
+        ok, errs = kernel.validate(doc)
+        if ok:
+            continue  # verdict parity is the other test's job
+        mine = {(error_kind_of(kw, msg).name, path)
+                for path, kw, msg in (errs or [])}
+        checked += 1
+        if ref_pairs <= mine:
+            exact += ref_pairs == mine
+        else:
+            missing.append((sorted(ref_pairs - mine), sorted(mine)))
+    assert not missing, (
+        f"{len(missing)}/{checked} failing generated cases MISS a "
+        f"reference (kind, pointer) pair; first 5: {missing[:5]}")
+    assert checked > 300 and exact / checked > 0.7, (checked, exact)
+
 
 @pytest.mark.parametrize("seed", [31])
 def test_treat_as_array_agrees_with_reference(ref, seed):
