@@ -37,6 +37,7 @@ from json_schema_spark.operators import chunking as CH
 from json_schema_spark.operators import pii as P
 from json_schema_spark.operators import sampling as SMP
 from json_schema_spark.operators import reconcile as RC
+from json_schema_spark.operators.incremental import incremental_validate
 from json_schema_spark.operators import text as T
 
 # --------------------------------------------------------------- schemas
@@ -294,6 +295,55 @@ def _q_snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RC.snapshot_diff(
         orders, _orders_new_snapshot(orders), keys=["o_orderkey"],
         compare_cols=_RECONCILE_COLS, mode="summary", digest=None,
+    )
+
+
+def _docs_new_snapshot(docs: DataFrame) -> DataFrame:
+    """Deterministic next version of documents, reconstructible in the
+    DuckDB oracle: doc_id %53==0 removed, %37==0 texts appended (length
+    can cross minLength=60 upward), %97==0 n_chars bumped past
+    maximum=400 (guaranteed valid->invalid flip), %101==0 rows re-keyed
+    (+1e9) as additions."""
+    base = (
+        docs.filter(F.col("doc_id") % 53 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 37 == 0,
+                   F.concat(F.col("text"), F.lit(" rev2")))
+            .otherwise(F.col("text")),
+        )
+        .withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") % 97 == 0,
+                   F.col("n_chars") + F.lit(500))
+            .otherwise(F.col("n_chars")),
+        )
+    )
+    added = docs.filter(F.col("doc_id") % 101 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000_000))
+    return base.unionByName(added)
+
+
+def _q_incremental_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-validation (operators/incremental.py): the draft-07
+    validator runs ONLY on the snapshot delta (added/changed doc_ids);
+    unchanged verdicts are carried from the prior run; removed rows
+    drop. The oracle is a FULL validation of the new snapshot in DuckDB
+    plus an independent delta classification — so both the verdict
+    identity and the delta boundary are gated."""
+    docs = _tp(spark, sf_dir, "documents")
+    new = _docs_new_snapshot(docs)
+    v = SparkValidator(DOCS_SCHEMA, dialect="draft7")
+
+    def validate(df: DataFrame) -> DataFrame:
+        return v.apply_table(df, columns=DOCS_COLS, with_violations=False) \
+            .select("doc_id", "valid")
+
+    prior = validate(docs)
+    return incremental_validate(
+        docs, new, ["doc_id"], validate, prior,
+        content_cols=["text", "lang", "source", "n_chars"],
+        digest="xxhash64", mark_revalidated="revalidated",
     )
 
 
@@ -773,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_orders_totalprice": _q_ks,
         "snapshot_diff_orders": _q_snapshot_diff,
         "snapshot_diff_summary_orders": _q_snapshot_diff_summary,
+        "incremental_validate_documents": _q_incremental_validate,
         "dedup_keep_first_documents": _q_dedup_keep_first,
         "ngram_jaccard_documents": _q_ngram_jaccard,
         "ngram_jaccard_exact_documents": _q_ngram_jaccard_exact,
@@ -1526,6 +1577,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "snapshot_diff_summary_orders": _SNAPSHOT_DIFF_CTE + """
             SELECT status, count(*)::bigint AS rows FROM j GROUP BY status
+        """,
+        # Full validation of the new snapshot + independent delta
+        # classification — the incremental path must reproduce both.
+        "incremental_validate_documents": f"""
+            WITH nn AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 37 = 0 THEN text || ' rev2'
+                          ELSE text END AS text,
+                     lang, source,
+                     CASE WHEN doc_id % 97 = 0 THEN n_chars + 500
+                          ELSE n_chars END AS n_chars
+              FROM documents WHERE doc_id % 53 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000000, text, lang, source, n_chars
+              FROM documents WHERE doc_id % 101 = 0
+            ),
+            vv AS (
+              SELECT doc_id, {DOCS_VALID_SQL} AS valid,
+                     text, lang, source, n_chars
+              FROM nn
+            )
+            SELECT v.doc_id, v.valid,
+                   (o.doc_id IS NULL
+                    OR o.text IS DISTINCT FROM v.text
+                    OR o.lang IS DISTINCT FROM v.lang
+                    OR o.source IS DISTINCT FROM v.source
+                    OR o.n_chars IS DISTINCT FROM v.n_chars) AS revalidated
+            FROM vv v LEFT JOIN documents o ON v.doc_id = o.doc_id
         """,
         "dedup_keep_first_documents": f"""
             SELECT min(doc_id) AS doc_id FROM documents
