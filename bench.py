@@ -44,6 +44,7 @@ HEADLINE = [
     "psi_events_click_vs_view",
     "ks_orders_totalprice",
     "snapshot_diff_orders",
+    "incremental_validate_documents",
     "minhash_neardup_documents",
     "ngram_jaccard_documents",
     "simhash_documents",
