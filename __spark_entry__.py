@@ -37,7 +37,10 @@ from json_schema_spark.operators import chunking as CH
 from json_schema_spark.operators import pii as P
 from json_schema_spark.operators import sampling as SMP
 from json_schema_spark.operators import reconcile as RC
-from json_schema_spark.operators.incremental import incremental_validate
+from json_schema_spark.operators.incremental import (
+    apply_changelog,
+    incremental_validate,
+)
 from json_schema_spark.operators import text as T
 
 # --------------------------------------------------------------- schemas
@@ -344,6 +347,35 @@ def _q_incremental_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, new, ["doc_id"], validate, prior,
         content_cols=["text", "lang", "source", "n_chars"],
         digest="xxhash64", mark_revalidated="revalidated",
+    )
+
+
+def _q_incremental_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure changelog mode (operators/incremental.py:apply_changelog):
+    the verdict table is maintained from the churn itself — upserted
+    rows + removed keys — without the new snapshot ever being scanned.
+    The changelog here over-approximates (every %37/%97/added key is
+    listed as changed even where the mutation was a no-op, e.g. NULL
+    text), which the operator contract declares safe; the oracle
+    re-derives the same classification independently."""
+    docs = _tp(spark, sf_dir, "documents")
+    new = _docs_new_snapshot(docs)
+    v = SparkValidator(DOCS_SCHEMA, dialect="draft7")
+
+    def validate(df: DataFrame) -> DataFrame:
+        return v.apply_table(df, columns=DOCS_COLS, with_violations=False) \
+            .select("doc_id", "valid")
+
+    prior = validate(docs)
+    changed = new.filter(
+        (F.col("doc_id") >= 1_000_000_000)
+        | (F.col("doc_id") % 37 == 0)
+        | (F.col("doc_id") % 97 == 0)
+    )
+    removed = docs.filter(F.col("doc_id") % 53 == 0).select("doc_id")
+    return apply_changelog(
+        prior, changed, ["doc_id"], validate, removed_keys=removed,
+        mark_revalidated="revalidated",
     )
 
 
@@ -824,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_orders": _q_snapshot_diff,
         "snapshot_diff_summary_orders": _q_snapshot_diff_summary,
         "incremental_validate_documents": _q_incremental_validate,
+        "incremental_changelog_documents": _q_incremental_changelog,
         "dedup_keep_first_documents": _q_dedup_keep_first,
         "ngram_jaccard_documents": _q_ngram_jaccard,
         "ngram_jaccard_exact_documents": _q_ngram_jaccard_exact,
@@ -1605,6 +1638,27 @@ def oracle_sql() -> dict[str, str]:
                     OR o.source IS DISTINCT FROM v.source
                     OR o.n_chars IS DISTINCT FROM v.n_chars) AS revalidated
             FROM vv v LEFT JOIN documents o ON v.doc_id = o.doc_id
+        """,
+        # Same full validation of the new snapshot; revalidated mirrors
+        # the (over-approximating) changelog classification instead of
+        # the content diff.
+        "incremental_changelog_documents": f"""
+            WITH nn AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 37 = 0 THEN text || ' rev2'
+                          ELSE text END AS text,
+                     lang, source,
+                     CASE WHEN doc_id % 97 = 0 THEN n_chars + 500
+                          ELSE n_chars END AS n_chars
+              FROM documents WHERE doc_id % 53 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000000, text, lang, source, n_chars
+              FROM documents WHERE doc_id % 101 = 0
+            )
+            SELECT doc_id, {DOCS_VALID_SQL} AS valid,
+                   (doc_id >= 1000000000 OR doc_id % 37 = 0
+                    OR doc_id % 97 = 0) AS revalidated
+            FROM nn
         """,
         "dedup_keep_first_documents": f"""
             SELECT min(doc_id) AS doc_id FROM documents

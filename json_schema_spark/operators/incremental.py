@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, functions as F
 from .dedup import _persist_swap
 from .reconcile import snapshot_diff
 
-__all__ = ["incremental_validate"]
+__all__ = ["incremental_validate", "apply_changelog"]
 
 
 def _key_cond(left, right, keys: Sequence[str]):
@@ -68,6 +68,7 @@ def incremental_validate(
     content_cols: Optional[Sequence[str]] = None,
     digest: Optional[str] = "xxhash64",
     mark_revalidated: Optional[str] = None,
+    delta_keys: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Verdicts for ``new``, validating only rows added/changed vs ``old``.
 
@@ -96,22 +97,40 @@ def incremental_validate(
     ``True`` on rows the validator actually ran on this call, ``False``
     on carried verdicts. Useful for ledgers and for oracle-gating the
     delta boundary itself.
+
+    ``delta_keys``: optional pre-computed frame of the added/changed
+    keys — the Iceberg/changelog fast path. When table metadata already
+    names the changed files (an Iceberg incremental scan between two
+    snapshot ids, a CDC feed, a commit log), change detection is free
+    and the digest diff — the only part of this operator that reads
+    BOTH snapshots end-to-end — is skipped entirely; cost becomes
+    churn-proportional plus one slim key-semi/anti join pass.
+    Correctness then rests on the caller's delta being complete: a
+    changed key missing from it is silently carried stale (exactly the
+    contract of trusting the table format's changelog). ``old`` and
+    ``digest`` are ignored in this mode.
     """
     keys = list(keys)
     missing = [k for k in keys if k not in prior.columns]
     if missing:
         raise ValueError(f"prior verdicts lack key column(s) {missing}")
 
-    diff = snapshot_diff(
-        old, new, keys, compare_cols=content_cols, mode="rows", digest=digest
-    )
+    if delta_keys is None:
+        diff = snapshot_diff(
+            old, new, keys, compare_cols=content_cols, mode="rows",
+            digest=digest,
+        )
+        delta_keys = diff.filter(
+            F.col("status").isin("added", "changed")
+        ).select(*keys)
+    else:
+        missing = [k for k in keys if k not in delta_keys.columns]
+        if missing:
+            raise ValueError(f"delta_keys lacks key column(s) {missing}")
+        delta_keys = delta_keys.select(*keys)
     # Slim (keys…,) frame of rows whose content is new to this snapshot.
     # Persisted: it feeds two joins below, and recomputing it means
     # running the full-outer diff join twice. ~(key width) bytes/row.
-    delta_keys = (
-        diff.filter(F.col("status").isin("added", "changed"))
-        .select(*keys)
-    )
     delta_keys = _persist_swap("incremental_validate", delta_keys)
 
     dk = delta_keys.alias("dk")
@@ -129,6 +148,59 @@ def incremental_validate(
         p.join(dk, _key_cond(p, dk, keys), "left_anti")
         .join(nk, _key_cond(p, nk, keys), "left_semi")
     )
+
+    if mark_revalidated is not None:
+        fresh = fresh.withColumn(mark_revalidated, F.lit(True))
+        carried = carried.withColumn(mark_revalidated, F.lit(False))
+    return fresh.unionByName(carried)
+
+
+def apply_changelog(
+    prior: DataFrame,
+    changed_rows: DataFrame,
+    keys: Sequence[str],
+    validate: Callable[[DataFrame], DataFrame],
+    removed_keys: Optional[DataFrame] = None,
+    mark_revalidated: Optional[str] = None,
+) -> DataFrame:
+    """Maintain a verdict table from a changelog WITHOUT scanning the
+    new snapshot at all — the fully churn-proportional path.
+
+    Where :func:`incremental_validate` takes both snapshots (or the new
+    snapshot + delta keys) and therefore scans the new snapshot at
+    least once, this variant takes what an Iceberg incremental scan /
+    CDC feed delivers directly: ``changed_rows`` (the full rows of
+    every added-or-changed key, upserted) and ``removed_keys``. Nothing
+    here touches the corpus — the inputs are the churn itself plus the
+    slim prior verdict table, so at 10^12 files with 0.1% daily churn
+    the whole job reads ~10^9 content rows + one keys-and-verdicts
+    projection.
+
+    Returns the verdict table of the new snapshot: ``validate`` runs
+    over ``changed_rows``; prior verdicts are dropped for keys in
+    ``changed_rows`` (superseded) and ``removed_keys`` (gone), carried
+    otherwise. Equals ``validate(new)`` PROVIDED the changelog is
+    complete and ``changed_rows`` carries the post-change row images
+    (an upsert/merge feed; over-approximation is safe — an unchanged
+    row listed as changed is merely re-validated).
+
+    ``mark_revalidated``: as in :func:`incremental_validate`.
+    """
+    keys = list(keys)
+    missing = [k for k in keys if k not in prior.columns]
+    if missing:
+        raise ValueError(f"prior verdicts lack key column(s) {missing}")
+
+    fresh = validate(changed_rows)
+    drop = changed_rows.select(*keys)
+    if removed_keys is not None:
+        drop = drop.unionByName(removed_keys.select(*keys))
+    # Slim union of superseded + removed keys feeds one anti-join; at
+    # changelog scale it is broadcast-able and Spark's AQE will pick
+    # BroadcastHashJoin for it without an explicit hint.
+    p = prior.alias("p")
+    d = drop.alias("d")
+    carried = p.join(d, _key_cond(p, d, keys), "left_anti")
 
     if mark_revalidated is not None:
         fresh = fresh.withColumn(mark_revalidated, F.lit(True))

@@ -10,7 +10,10 @@ matches the diff classification exactly."""
 import pytest
 from pyspark.sql import functions as F
 
-from json_schema_spark.operators.incremental import incremental_validate
+from json_schema_spark.operators.incremental import (
+    apply_changelog,
+    incremental_validate,
+)
 
 
 def _validator(counter):
@@ -133,6 +136,79 @@ def test_content_cols_subset(spark, snaps):
     out.collect()
     seen = {r.k for r in calls[0].select("k").collect()}
     assert 1 not in seen  # s-change not in digest -> carried, not re-run
+
+
+def test_provided_delta_fast_path(spark, snaps):
+    """Iceberg/changelog mode: with delta_keys supplied, the digest
+    diff is skipped (old never touched) and the result still equals
+    full validation when the provided delta is complete."""
+    old, new = snaps
+    calls = []
+    validate = _validator(calls)
+    prior = validate(old)
+    calls.clear()
+    delta = spark.createDataFrame([(2,), (3,), (9,)], "k long")
+    poisoned = old.withColumn("v", F.lit(None).cast("double"))
+    out = incremental_validate(
+        poisoned, new, ["k"], validate, prior, delta_keys=delta
+    )
+    got = {(r.k, r.valid) for r in out.collect()}
+    seen = {r.k for r in calls[-1].select("k").collect()}
+    assert seen == {2, 3, 9}
+    want = {(r.k, r.valid) for r in validate(new).collect()}
+    assert got == want  # old is ignored — poisoning it changes nothing
+
+
+def test_provided_delta_missing_key_raises(spark, snaps):
+    old, new = snaps
+    calls = []
+    validate = _validator(calls)
+    prior = validate(old)
+    delta = spark.createDataFrame([("x",)], "s string")
+    with pytest.raises(ValueError, match="delta_keys"):
+        incremental_validate(
+            old, new, ["k"], validate, prior, delta_keys=delta
+        )
+
+
+def test_apply_changelog_equals_full(spark, snaps):
+    """Pure changelog mode: the new snapshot is never an input — only
+    the changed rows + removed keys — and the maintained verdict table
+    still equals full validation of the new snapshot."""
+    old, new = snaps
+    calls = []
+    validate = _validator(calls)
+    prior = validate(old)
+    calls.clear()
+    changed = new.filter(F.col("k").isin(2, 3, 9))   # upserted rows
+    removed = spark.createDataFrame([(4,)], "k long")
+    out = apply_changelog(prior, changed, ["k"], validate,
+                          removed_keys=removed,
+                          mark_revalidated="revalidated")
+    got = {(r.k, r.valid, r.revalidated) for r in out.collect()}
+    seen = {r.k for r in calls[-1].select("k").collect()}
+    assert seen == {2, 3, 9}
+    want_valid = {(r.k, r.valid) for r in validate(new).collect()}
+    assert {(k, v) for k, v, _ in got} == want_valid
+    assert {(k, rv) for k, _, rv in got} == {
+        (1, False), (2, True), (3, True), (None, False),
+        (6, False), (9, True)}
+
+
+def test_apply_changelog_overapproximation_safe(spark, snaps):
+    """A row listed as changed but actually identical is merely
+    re-validated — the result is unchanged."""
+    old, new = snaps
+    calls = []
+    validate = _validator(calls)
+    prior = validate(old)
+    changed = new.filter(F.col("k").isin(1, 2, 3, 9))  # 1 is unchanged
+    removed = spark.createDataFrame([(4,)], "k long")
+    out = apply_changelog(prior, changed, ["k"], validate,
+                          removed_keys=removed)
+    got = {(r.k, r.valid) for r in out.collect()}
+    want = {(r.k, r.valid) for r in validate(new).collect()}
+    assert got == want
 
 
 def test_no_python_in_expression_path_plan(spark, snaps):
