@@ -45,6 +45,7 @@ HEADLINE = [
     "ks_orders_totalprice",
     "snapshot_diff_orders",
     "incremental_validate_documents",
+    "incremental_changelog_documents",
     "minhash_neardup_documents",
     "ngram_jaccard_documents",
     "simhash_documents",
