@@ -200,10 +200,15 @@ class SchemaRegistry:
         dialect = dialect or self._dialect_of(schema) or self.default_dialect
         root_uri = uri
         if isinstance(schema, dict):
-            declared = schema.get("$id") or (
-                schema.get("id") if dialect == "draft7" and isinstance(schema.get("id"), str) else None
-            )
-            if isinstance(declared, str) and not declared.startswith("#"):
+            # only "$id" names a resource; the draft-4 legacy "id" is
+            # never read (SchemaPreprocessor.optId reads node.path("$id")
+            # only — reference-probe verified: a draft-7 root {"id": ...}
+            # is not addressable). In draft-7 a "$ref" sibling suppresses
+            # the $id entirely (isValidIdInEarlyVersions,
+            # SchemaPreprocessor.java:54-64) — root node included.
+            declared = schema.get("$id")
+            if (isinstance(declared, str) and not declared.startswith("#")
+                    and not (dialect == "draft7" and "$ref" in schema)):
                 root_uri = _strip_fragment(_resolve_uri(uri, declared))
         if not root_uri:
             self._synthetic += 1
@@ -437,11 +442,27 @@ class SchemaRegistry:
         return self._dialect_by_nodeid.get(id(node), self.default_dialect)
 
     def resolve_ref(self, ref: str, base: str) -> Any:
-        """Resolve ``$ref`` to a schema node (compile-time, driver-side)."""
+        """Resolve ``$ref`` to a schema node (compile-time, driver-side).
+
+        A ref that contributes a path component must resolve to an
+        ABSOLUTE URI: the reference resolves every non-fragment ref
+        through ``applyDefaultResolution`` (SchemasRegistry.java:369-390)
+        which returns null / throws on a non-absolute result, so embedded
+        resources whose ``$id`` resolved relative (no absolute base in
+        scope — anonymous root, or a draft-7 root whose ``$id`` was
+        suppressed by a ``$ref`` sibling) are registered but UNREACHABLE
+        (reference-probe verified). Fragment-only refs stay in the
+        current resource regardless of its base's shape."""
         target = _resolve_uri(base, ref)
         doc_uri, _, fragment = target.partition("#")
+        same_doc = not doc_uri
         doc_uri = doc_uri or base.split("#", 1)[0]
-        doc = self.docs.get(doc_uri)
+        relative = (not same_doc
+                    and not urllib.parse.urlsplit(doc_uri).scheme)
+        # a relative target never matches registry entries; the external
+        # resolver / loader chain still gets a shot first, mirroring
+        # resolvePath's external-resolver-before-default order
+        doc = None if relative else self.docs.get(doc_uri)
         if doc is None:
             load_uri = self.uri_mappings.get(doc_uri, doc_uri)
             loaded = self.loader_chain(load_uri)
@@ -453,7 +474,7 @@ class SchemaRegistry:
                 doc = self.docs.get(doc_uri)
         if doc is None:
             # the ref may target an anchor in an already-known resource
-            if fragment and (doc_uri, fragment) in self.anchors:
+            if not relative and fragment and (doc_uri, fragment) in self.anchors:
                 return self.anchors[(doc_uri, fragment)]
             raise SchemaResolutionError(f"unknown schema resource: {doc_uri!r}")
         if not fragment:

@@ -172,6 +172,46 @@ def _anchor_ref_schema(rng: random.Random, draft: str, depth: int) -> dict:
     return {"$defs": {"d0": target}, "$ref": "#a0"}
 
 
+def _refchain_schema(rng: random.Random, draft: str, depth: int) -> dict:
+    """``$ref`` → ``$ref`` chains: the root refs d0, d0 refs d1. Post-
+    draft-7, the middle link sometimes carries sibling keywords (both
+    the ref target AND the siblings apply); draft-7 siblings on a $ref
+    are ignored by spec, which the per-dialect keyword activity already
+    pins — here the chain itself is the subject."""
+    container = "definitions" if draft == "draft7" else "$defs"
+    target = _dict_sub(rng, draft, depth - 1)
+    chain: dict = {"$ref": f"#/{container}/d1"}
+    if draft != "draft7" and rng.random() < 0.4:
+        chain.update(_scalar_schema(rng))
+    return {container: {"d0": chain, "d1": target},
+            "$ref": f"#/{container}/d0"}
+
+
+def _nested_id_schema(rng: random.Random, draft: str, depth: int) -> dict:
+    """Nested ``$id`` re-bases the embedded resource: a relative
+    ``$ref`` from the root resolves against the root base URI into the
+    embedded resource, whose fragment pointer is then evaluated in the
+    embedded resource's own scope (reference: IdKeyword base-URI
+    remapping + registry resolution; engine: core/registry.py embedded-
+    resource map). Half the time the ref uses the absolute form."""
+    container = "definitions" if draft == "draft7" else "$defs"
+    inner = _dict_sub(rng, draft, depth - 1)
+    sub = {"$id": "sub/x.json", container: {"inner": inner}}
+    ref = (f"sub/x.json#/{container}/inner"
+           if rng.random() < 0.5
+           else f"http://fuzz.test/sub/x.json#/{container}/inner")
+    root: dict = {"$id": "http://fuzz.test/root.json", container: {"sub": sub}}
+    if draft == "draft7" or rng.random() < 0.5:
+        # draft-7 suppresses a root $id beside $ref (preprocessor
+        # isValidIdInEarlyVersions), making the whole schema a compile
+        # error in BOTH engines — wrap in allOf so resolution is
+        # actually exercised; post-draft-7 exercises both placements
+        root["allOf"] = [{"$ref": ref}]
+    else:
+        root["$ref"] = ref
+    return root
+
+
 def _recursive_schema(rng: random.Random, draft: str, depth: int) -> dict:
     """Self-referential root: draft-7 ``$ref: "#"``, 2019-09
     ``$recursiveRef``/``$recursiveAnchor``, 2020-12
@@ -231,7 +271,7 @@ def schema(rng: random.Random, draft: str, depth: int = 3, top: bool = False) ->
         return s
     if r < 0.92 and top:  # reference / identity constructs
         rr = rng.random()
-        if rr < 0.5:  # $ref into the root definitions container
+        if rr < 0.35:  # $ref into the root definitions container
             container = "definitions" if draft == "draft7" else "$defs"
             s = {
                 container: {"d0": schema(rng, draft, depth - 1)},
@@ -241,9 +281,13 @@ def schema(rng: random.Random, draft: str, depth: int = 3, top: bool = False) ->
                 # post-draft-7: $ref siblings apply
                 s.update(_scalar_schema(rng))
             return s
-        if rr < 0.8:
+        if rr < 0.55:
             return _anchor_ref_schema(rng, draft, depth)
-        return _recursive_schema(rng, draft, depth)
+        if rr < 0.7:
+            return _recursive_schema(rng, draft, depth)
+        if rr < 0.85:
+            return _refchain_schema(rng, draft, depth)
+        return _nested_id_schema(rng, draft, depth)
     if r >= 0.92 and draft != "draft7":  # unevaluated* interaction
         rr = rng.random()
         if rr < 0.4:
