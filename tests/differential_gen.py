@@ -212,6 +212,34 @@ def _nested_id_schema(rng: random.Random, draft: str, depth: int) -> dict:
     return root
 
 
+def _dynamic_tree_schema(rng: random.Random, draft: str, depth: int) -> dict:
+    """Dynamic scope across an embedded-resource boundary (post-draft-7
+    only): an embedded ``$id`` resource declares a dynamic/recursive
+    anchor and self-refs through it; the root extends the resource via
+    absolute ``$ref`` and 60% of the time re-declares the anchor — the
+    OUTERMOST dynamic scope must win (reference: DynamicRefCompiler /
+    RecursiveRefCompiler scope walk; engine: validator.py resolve_dynamic
+    over the evaluation scope chain)."""
+    body = _dict_sub(rng, draft, depth - 1)
+    key = rng.choice(KEYS)
+    if draft == "2019-09":
+        inner_ref: dict = {"$recursiveRef": "#"}
+        anchor_k, anchor_v = "$recursiveAnchor", True
+    else:
+        inner_ref = {"$dynamicRef": "#node"}
+        anchor_k, anchor_v = "$dynamicAnchor", "node"
+    tree = {"$id": "http://fuzz.test/tree.json", anchor_k: anchor_v,
+            "properties": {key: inner_ref}}
+    root: dict = {"$id": "http://fuzz.test/root.json",
+                  "$ref": "http://fuzz.test/tree.json",
+                  "$defs": {"tree": tree}}
+    if rng.random() < 0.6:
+        root[anchor_k] = anchor_v
+    for k, v in body.items():
+        root.setdefault(k, v)
+    return root
+
+
 def _recursive_schema(rng: random.Random, draft: str, depth: int) -> dict:
     """Self-referential root: draft-7 ``$ref: "#"``, 2019-09
     ``$recursiveRef``/``$recursiveAnchor``, 2020-12
@@ -281,13 +309,15 @@ def schema(rng: random.Random, draft: str, depth: int = 3, top: bool = False) ->
                 # post-draft-7: $ref siblings apply
                 s.update(_scalar_schema(rng))
             return s
-        if rr < 0.55:
+        if rr < 0.5:
             return _anchor_ref_schema(rng, draft, depth)
-        if rr < 0.7:
+        if rr < 0.62:
             return _recursive_schema(rng, draft, depth)
-        if rr < 0.85:
+        if rr < 0.74:
             return _refchain_schema(rng, draft, depth)
-        return _nested_id_schema(rng, draft, depth)
+        if rr < 0.87 or draft == "draft7":
+            return _nested_id_schema(rng, draft, depth)
+        return _dynamic_tree_schema(rng, draft, depth)
     if r >= 0.92 and draft != "draft7":  # unevaluated* interaction
         rr = rng.random()
         if rr < 0.4:

@@ -529,3 +529,70 @@ def test_treat_as_array_agrees_with_reference(ref, seed):
     assert not mismatches, (
         f"{len(mismatches)}/{len(cases)} treat-as-array verdicts disagree; "
         f"first 10: {mismatches[:10]}")
+
+
+_TREE_DOCS = [
+    {"data": 1, "children": [{"data": 2, "children": []}]},
+    {"data": 1, "children": [{"data": "bad", "children": []}]},
+    {"data": "bad"},
+    {"children": [{"children": [{"data": 3.5}]}]},
+    {"children": ["notanode"]},
+]
+
+
+def _tree_resource(draft: str) -> dict:
+    if draft == "2019-09":
+        anchor, inner = {"$recursiveAnchor": True}, {"$recursiveRef": "#"}
+    else:
+        anchor, inner = {"$dynamicAnchor": "node"}, {"$dynamicRef": "#node"}
+    return {"$id": "http://fuzz.test/tree.json", **anchor, "type": "object",
+            "properties": {"children": {"type": "array", "items": inner}}}
+
+
+def test_dynamic_scope_cross_resource(ref):
+    """Dynamic/recursive refs across an embedded-resource boundary:
+    the outermost dynamic scope wins when the root re-declares the
+    anchor ("strict"); without it the ref stays in the inner resource
+    ("loose"); a plain $anchor at the initial target does not arm a
+    $dynamicRef (bookending). 23 handcrafted cases, verdict-compared
+    against the compiled reference."""
+    from json_schema_spark.core.validator import compile_schema
+
+    ext = {"$defs": None, "$ref": "http://fuzz.test/tree.json",
+           "$id": "http://fuzz.test/root.json",
+           "properties": {"data": {"type": "integer"}, "children": True}}
+
+    def extend(draft: str, redeclare: bool) -> dict:
+        s = dict(ext)
+        s["$defs"] = {"tree": _tree_resource(draft)}
+        if redeclare:
+            s.update({"$recursiveAnchor": True} if draft == "2019-09"
+                     else {"$dynamicAnchor": "node"})
+        return s
+
+    book = {"$id": "http://fuzz.test/root.json", "$dynamicAnchor": "node",
+            "type": "object", "$ref": "http://fuzz.test/leaf.json",
+            "$defs": {"leaf": {"$id": "http://fuzz.test/leaf.json",
+                               "properties": {"x": {"$dynamicRef": "#node"}},
+                               "$defs": {"n": {"$anchor": "node",
+                                               "type": "string"}}}}}
+    plans = [
+        ("2020-12", extend("2020-12", True), _TREE_DOCS),
+        ("2020-12", extend("2020-12", False), _TREE_DOCS),
+        ("2019-09", extend("2019-09", True), _TREE_DOCS),
+        ("2019-09", extend("2019-09", False), _TREE_DOCS),
+        ("2020-12", book, [{"x": "s"}, {"x": 5}, {"x": {}}]),
+    ]
+    cases, kernels = [], []
+    for draft, sch, docs in plans:
+        kernel = compile_schema(sch, dialect=draft)
+        for doc in docs:
+            cases.append((json.dumps(sch), json.dumps(doc), draft, False))
+            kernels.append((kernel, sch, doc))
+    verdicts = ref(cases)
+    mismatches = []
+    for (kernel, sch, doc), got in zip(kernels, verdicts):
+        mine = "t" if kernel.is_valid(doc) else "f"
+        if mine != got:
+            mismatches.append((sch, doc, got, mine))
+    assert not mismatches, f"first: {mismatches[:5]}"
