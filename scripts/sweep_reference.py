@@ -68,6 +68,40 @@ def sweep_verdicts(run, seeds, taa=False):
     return total, mismatches
 
 
+def sweep_targeted(run, seeds):
+    """Schema-aware instances: synthesized-toward-valid + mutated
+    near-misses — the deep t/f boundary blind fuzz can't reach."""
+    total = mismatches = 0
+    for seed in seeds:
+        for draft in ("draft7", "2019-09", "2020-12"):
+            rng = random.Random(f"targeted-sweep-{draft}-{seed}")
+            cases, kernels = [], []
+            for _ in range(200):
+                sch = gen.schema(rng, draft, top=True)
+                try:
+                    kernel = compile_schema(sch, dialect=draft)
+                except Exception:
+                    continue
+                sj = json.dumps(sch)
+                docs = [gen.targeted_value(rng, sch) for _ in range(3)]
+                docs += [gen.mutate(rng, d, n_edits=1 + (rng.random() < 0.4))
+                         for d in docs]
+                for doc in docs:
+                    cases.append((sj, json.dumps(doc), draft, False))
+                    kernels.append((kernel, sch, doc))
+            verdicts = run(cases)
+            for (kernel, sch, doc), got in zip(kernels, verdicts):
+                if got not in ("t", "f"):
+                    continue
+                total += 1
+                mine = "t" if kernel.is_valid(doc) else "f"
+                if mine != got:
+                    mismatches += 1
+                    print("TARGETED-MISMATCH", json.dumps(sch),
+                          json.dumps(doc), "ref:", got, "kernel:", mine)
+    return total, mismatches
+
+
 def sweep_compile(run, seeds):
     total = mismatches = 0
     bad_values = [None, True, -1, 0.5, "x", [], {}, [1, 1], ["a", "a"],
@@ -112,8 +146,10 @@ def main():
         print(f"treat-as-array: {t2} compared, {m2} mismatches")
         t3, m3 = sweep_compile(run, seeds[: max(2, n // 2)])
         print(f"compile-reject: {t3} compared, {m3} mismatches")
-        total_m = m1 + m2 + m3
-        print(f"TOTAL: {t1 + t2 + t3} comparisons, {total_m} mismatches")
+        t4, m4 = sweep_targeted(run, seeds)
+        print(f"targeted-instances: {t4} compared, {m4} mismatches")
+        total_m = m1 + m2 + m3 + m4
+        print(f"TOTAL: {t1 + t2 + t3 + t4} comparisons, {total_m} mismatches")
         sys.exit(1 if total_m else 0)
 
 

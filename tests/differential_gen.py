@@ -24,6 +24,7 @@ reference implementation):
 
 from __future__ import annotations
 
+import json
 import random
 from typing import Any
 
@@ -347,3 +348,254 @@ def schema(rng: random.Random, draft: str, depth: int = 3, top: bool = False) ->
         ])()
         return {**inplace, kw: rng.choice([False, True, _scalar_schema(rng)])}
     return _object_schema(rng, draft, depth)
+
+
+# --------------------------------------------------------------------------
+# Schema-aware instance synthesis: bias docs toward VALIDITY so deep
+# keyword interactions (nested objects, contains, unevaluated*, dynamic
+# refs) get exercised at their t/f boundary instead of failing at the
+# first shallow type check. Best-effort only — neither engine consumes
+# these as ground truth; they are verdict-compared against each other.
+# --------------------------------------------------------------------------
+
+# canned witnesses for the PATTERNS pool (search semantics)
+_PATTERN_WITNESS = {"^a": "ab", "b$": "ab", "[0-9]+": "x9x", "^[a-z]{2,4}$": "abc",
+                    "c": "abc", "^Z": "Zz9", "^\\d+$": "34", "\\w": "ab",
+                    "^\\d": "9x"}
+
+
+def _resolve_for_synth(node: Any, root: Any) -> Any:
+    """Crude resolver for the ref shapes THIS generator emits."""
+    if not isinstance(node, dict):
+        return node
+    ref = node.get("$ref") or node.get("$recursiveRef") \
+        or node.get("$dynamicRef")
+    if not isinstance(ref, str):
+        return node
+    if ref in ("#", "#node"):
+        return root
+    frag = ref.partition("#")[2]
+    if frag and not frag.startswith("/"):
+        # plain-name anchor: find the declaring node
+        stack = [root]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, dict):
+                if n.get("$anchor") == frag or n.get("$id") == f"#{frag}":
+                    return n
+                stack.extend(n.values())
+            elif isinstance(n, list):
+                stack.extend(n)
+        return node
+    # pointer walk; for uri-qualified refs, locate the embedded resource
+    base = root
+    uri = ref.partition("#")[0]
+    if uri:
+        tail = uri.rsplit("/", 1)[-1]
+        stack = [root]
+        base = None
+        while stack:
+            n = stack.pop()
+            if isinstance(n, dict):
+                nid = n.get("$id", "")
+                if isinstance(nid, str) and nid.rsplit("/", 1)[-1] == tail:
+                    base = n
+                    break
+                stack.extend(n.values())
+            elif isinstance(n, list):
+                stack.extend(n)
+        if base is None:
+            return node
+    for part in [p for p in frag.split("/") if p]:
+        part = part.replace("~1", "/").replace("~0", "~")
+        if isinstance(base, dict) and part in base:
+            base = base[part]
+        else:
+            return node
+    return base
+
+
+def targeted_value(rng: random.Random, sch: Any, root: Any = None,
+                   budget: int = 24) -> Any:
+    """Synthesize an instance biased toward satisfying ``sch``."""
+    if root is None:
+        root = sch
+    if budget <= 0 or isinstance(sch, bool) or not isinstance(sch, dict):
+        return rng.choice(SCALARS)
+    resolved = _resolve_for_synth(sch, root)
+    if resolved is not sch:
+        merged = dict(resolved) if isinstance(resolved, dict) else {}
+        if isinstance(resolved, dict):
+            for k, v in sch.items():
+                if k not in ("$ref", "$recursiveRef", "$dynamicRef"):
+                    merged.setdefault(k, v)
+            return targeted_value(rng, merged, root, budget - 4)
+        return targeted_value(rng, resolved, root, budget - 4)
+    if "const" in sch:
+        return sch["const"]
+    if isinstance(sch.get("enum"), list) and sch["enum"]:
+        return rng.choice(sch["enum"])
+    for comb in ("allOf", "anyOf", "oneOf"):
+        branches = sch.get(comb)
+        if isinstance(branches, list) and branches:
+            pick = branches[0] if comb == "allOf" else rng.choice(branches)
+            if isinstance(pick, dict):
+                merged = dict(pick)
+                for k, v in sch.items():
+                    if k != comb:
+                        merged.setdefault(k, v)
+                return targeted_value(rng, merged, root, budget - 2)
+    if "then" in sch or "if" in sch:
+        pick = sch.get("then") if "then" in sch else sch.get("if")
+        if isinstance(pick, dict):
+            merged = dict(pick)
+            for k, v in sch.items():
+                if k not in ("if", "then", "else"):
+                    merged.setdefault(k, v)
+            return targeted_value(rng, merged, root, budget - 2)
+    t = sch.get("type")
+    if isinstance(t, list) and t:
+        t = rng.choice(t)
+    if t is None:
+        # infer from present keywords, else random scalar
+        if any(k in sch for k in ("properties", "required", "minProperties",
+                                  "maxProperties", "patternProperties")):
+            t = "object"
+        elif any(k in sch for k in ("items", "prefixItems", "contains",
+                                    "minItems", "maxItems", "uniqueItems")):
+            t = "array"
+        elif any(k in sch for k in ("minLength", "maxLength", "pattern")):
+            t = "string"
+        elif any(k in sch for k in ("minimum", "maximum", "multipleOf",
+                                    "exclusiveMinimum", "exclusiveMaximum")):
+            t = "number"
+        else:
+            return value(rng)
+    if t == "null":
+        return None
+    if t == "boolean":
+        return rng.choice([True, False])
+    if t in ("integer", "number"):
+        lo = sch.get("minimum", sch.get("exclusiveMinimum", 0))
+        hi = sch.get("maximum", sch.get("exclusiveMaximum", lo + 10))
+        try:
+            lo, hi = float(lo), float(hi)
+        except (TypeError, ValueError):
+            lo, hi = 0.0, 10.0
+        if "exclusiveMinimum" in sch:
+            lo += 1
+        if "exclusiveMaximum" in sch:
+            hi -= 1
+        m = sch.get("multipleOf")
+        if isinstance(m, (int, float)) and m:
+            k = int(lo // m) + 1
+            cand = k * m
+            if cand > hi:
+                cand = lo
+            return int(cand) if t == "integer" and cand == int(cand) else cand
+        mid = (lo + hi) / 2
+        if t == "integer":
+            return int(mid)
+        return mid if rng.random() < 0.5 else int(mid)
+    if t == "string":
+        pat = sch.get("pattern")
+        base = _PATTERN_WITNESS.get(pat, rng.choice(STRS)) if pat \
+            else rng.choice(STRS)
+        lo = sch.get("minLength", 0)
+        hi = sch.get("maxLength")
+        if isinstance(lo, int) and len(base) < lo:
+            base = base + "a" * (lo - len(base))
+        if isinstance(hi, int) and len(base) > hi:
+            base = base[:hi]
+        return base
+    if t == "array":
+        items = sch.get("items")
+        prefix = sch.get("prefixItems")
+        lo = sch.get("minItems", 0 if rng.random() < 0.5 else 1)
+        hi = sch.get("maxItems", (lo if isinstance(lo, int) else 0) + 2)
+        out = []
+        if isinstance(prefix, list):
+            out.extend(targeted_value(rng, p, root, budget - 1)
+                       for p in prefix)
+        elif isinstance(items, list):  # draft-7/2019 tuple form
+            out.extend(targeted_value(rng, p, root, budget - 1)
+                       for p in items)
+        n = max(int(lo) if isinstance(lo, int) else 0, len(out))
+        n = min(max(n, len(out)), int(hi) if isinstance(hi, int) else n + 2)
+        fill = items if isinstance(items, (dict, bool)) else \
+            sch.get("additionalItems", True)
+        while len(out) < n:
+            out.append(targeted_value(rng, fill, root, budget - 1))
+        if "contains" in sch and (not isinstance(sch.get("minContains"), int)
+                                  or sch["minContains"] > 0):
+            out.append(targeted_value(rng, sch["contains"], root, budget - 1))
+        return out
+    # object
+    props = sch.get("properties") if isinstance(sch.get("properties"), dict) \
+        else {}
+    out_obj: dict = {}
+    required = sch.get("required") if isinstance(sch.get("required"), list) \
+        else []
+    for k in required:
+        if isinstance(k, str):
+            out_obj[k] = targeted_value(rng, props.get(k, True), root,
+                                        budget - 1)
+    for k, sub in props.items():
+        if k not in out_obj and rng.random() < 0.6:
+            out_obj[k] = targeted_value(rng, sub, root, budget - 1)
+    lo = sch.get("minProperties")
+    if isinstance(lo, int):
+        extra = sch.get("additionalProperties", True)
+        pool = [k for k in KEYS if k not in out_obj] + ["z0", "z1"]
+        for k in pool:
+            if len(out_obj) >= lo:
+                break
+            out_obj[k] = targeted_value(
+                rng, extra if isinstance(extra, (dict, bool)) else True,
+                root, budget - 1)
+    hi = sch.get("maxProperties")
+    if isinstance(hi, int):
+        while len(out_obj) > hi:
+            out_obj.pop(next(iter(out_obj)))
+    return out_obj
+
+
+def mutate(rng: random.Random, doc: Any, n_edits: int = 1) -> Any:
+    """Randomly perturb a synthesized instance: each edit picks a random
+    path and drops/adds/replaces/tweaks there — turning near-valid docs
+    into near-miss negatives that fail DEEP, not at the root type."""
+    doc = json.loads(json.dumps(doc)) if isinstance(doc, (dict, list)) \
+        else doc
+    for _ in range(n_edits):
+        # collect all container nodes
+        nodes = []
+        stack = [doc]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, (dict, list)):
+                nodes.append(n)
+                stack.extend(n.values() if isinstance(n, dict) else n)
+        if not nodes:
+            return rng.choice(SCALARS)
+        tgt = rng.choice(nodes)
+        r = rng.random()
+        if isinstance(tgt, dict):
+            if tgt and r < 0.35:
+                tgt.pop(rng.choice(sorted(tgt)))
+            elif r < 0.6:
+                tgt[rng.choice(KEYS + ["z9"])] = rng.choice(SCALARS)
+            elif tgt:
+                k = rng.choice(sorted(tgt))
+                v = tgt[k]
+                tgt[k] = (v + 1 if isinstance(v, (int, float))
+                          and not isinstance(v, bool)
+                          else v + "!" if isinstance(v, str)
+                          else rng.choice(SCALARS))
+        else:
+            if tgt and r < 0.35:
+                tgt.pop(rng.randrange(len(tgt)))
+            elif r < 0.6:
+                tgt.append(rng.choice(SCALARS))
+            elif tgt:
+                tgt.append(tgt[rng.randrange(len(tgt))])  # dup → uniqueItems
+    return doc

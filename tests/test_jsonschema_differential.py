@@ -257,3 +257,50 @@ def test_generated_differential(dialect, seed):
             )
             checked += 1
     assert checked > 3000  # the harness actually exercised the engines
+
+
+@pytest.mark.parametrize("dialect", ["draft7", "2019-09", "2020-12"])
+@pytest.mark.parametrize("seed", [51])
+def test_targeted_generated_differential(dialect, seed):
+    """Schema-aware instances (G.targeted_value + G.mutate): verdicts
+    at the deep t/f boundary that blind instances rarely reach. Same
+    documented-divergence filters as the blind variant."""
+    rng = random.Random(f"targeted-{dialect}-{seed}")
+    lib_cls = _LIB_VALIDATORS[dialect]
+    cfg = CompileConfig(dialect=dialect, content_mode="disabled")
+    checked = 0
+    for i in range(400):
+        schema = G.schema(rng, dialect, depth=3 + (i % 2), top=True)
+        if dialect == "2019-09" and _lib_2019_uneval_quirk(schema):
+            continue
+        try:
+            lib = lib_cls(schema)
+            lib_cls.check_schema(schema)
+        except Exception:
+            continue
+        try:
+            kernel = compile_schema(schema, dialect=dialect,
+                                    config=CompileConfig(**vars(cfg)))
+        except Exception:
+            continue  # kernel-only rejections covered by the blind test
+        docs = [G.targeted_value(rng, schema) for _ in range(3)]
+        docs += [G.mutate(rng, d, n_edits=1 + (rng.random() < 0.4))
+                 for d in docs]
+        for inst in docs:
+            try:
+                lib_ok = lib.is_valid(inst)
+            except Exception:
+                continue
+            ker_ok = kernel.is_valid(inst)
+            if ker_ok != lib_ok and (
+                _family_divergence_possible(schema, inst)
+                or _absorb_skip_possible(schema)
+            ):
+                continue
+            assert ker_ok == lib_ok, (
+                f"dialect={dialect} seed={seed} schema#{i}\n"
+                f"schema={json.dumps(schema)}\ninstance={json.dumps(inst)}\n"
+                f"kernel={ker_ok} library={lib_ok}"
+            )
+            checked += 1
+    assert checked > 1500
