@@ -637,3 +637,57 @@ def test_targeted_instances_agree_with_reference(ref, draft, seed):
         f"{len(mismatches)}/{len(cases)} targeted-instance verdicts disagree "
         f"with the REAL reference; first 10: {mismatches[:10]}")
     assert valid > len(cases) * 0.3  # the bias actually biases
+
+
+@pytest.mark.parametrize("draft,seed", [
+    ("draft7", 211), ("2019-09", 212), ("2020-12", 213),
+])
+def test_error_pointers_targeted_instances(ref, draft, seed):
+    """(kind, instance-pointer) differential on NEAR-MISS mutants of
+    schema-aware instances: these fail deep with few errors — the
+    hardest pointer-parity surface (a blind doc usually fails at ''
+    with a root type error). Subset gate like the blind variant."""
+    from json_schema_spark.core.errors import error_kind_of
+    from json_schema_spark.core.validator import CompileConfig, compile_schema
+
+    rng = random.Random(f"tptr-{draft}-{seed}")
+    cases, kernels = [], []
+    for _ in range(250):
+        sch = gen.schema(rng, draft, top=True)
+        try:
+            kernel = compile_schema(sch, config=CompileConfig(dialect=draft))
+        except Exception:
+            continue
+        sj = json.dumps(sch)
+        for _ in range(3):
+            doc = gen.mutate(rng, gen.targeted_value(rng, sch),
+                             n_edits=1 + (rng.random() < 0.3))
+            cases.append((sj, json.dumps(doc), draft, False))
+            kernels.append((kernel, doc))
+    verdicts = ref(cases, kinds=True)
+    checked = exact = 0
+    missing = []
+    for (kernel, doc), got in zip(kernels, verdicts):
+        if not got.startswith("f:"):
+            continue
+        ref_pairs = _ref_pairs(got)
+        ok, errs = kernel.validate(doc)
+        if ok:
+            continue
+        mine = {(error_kind_of(kw, msg).name, path)
+                for path, kw, msg in (errs or [])}
+        checked += 1
+        if ref_pairs <= mine:
+            exact += ref_pairs == mine
+        else:
+            missing.append((sorted(ref_pairs - mine), sorted(mine)))
+    assert not missing, (
+        f"{len(missing)}/{checked} failing targeted cases MISS a "
+        f"reference (kind, pointer) pair; first 5: {missing[:5]}")
+    # deep failures carry our by-design roll-up extras (parent-pointer
+    # ADDITIONAL_PROPERTIES / PROPERTY_NAMES / IF_THEN_ELSE /
+    # unevaluated* wrappers around the leaf error the reference reports
+    # alone) much more often than shallow ones — measured 0.65-0.70
+    # exact vs 0.7+ on blind docs; the subset gate above is the parity
+    # statement, the ratio just pins the roll-up rate from drifting
+    assert checked > 150 and exact / checked > 0.6, (checked, exact)
