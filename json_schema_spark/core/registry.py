@@ -159,7 +159,8 @@ class SchemaRegistry:
 
     def __init__(self, default_dialect: str = "draft7",
                  loader: Optional[Callable[[str], Any]] = None,
-                 loaders: Optional[dict[str, Callable[[str], Any]]] = None):
+                 loaders: Optional[dict[str, Callable[[str], Any]]] = None,
+                 embedded_spec_enabled: bool = True):
         from ..sources.loaders import ResourceLoaderChain
 
         self.default_dialect = default_dialect
@@ -176,7 +177,9 @@ class SchemaRegistry:
         # file/http(s) > embedded official meta-schemas
         # (BaseResourceLoader.java:22-60 + OriginalSpecResolver appended
         # last, SchemaBuilder.java:358-360). Driver-only I/O.
-        self.loader_chain = ResourceLoaderChain(loaders, catch_all=loader)
+        self.loader_chain = ResourceLoaderChain(
+            loaders, catch_all=loader,
+            embedded_spec_enabled=embedded_spec_enabled)
         # $id -> actual location URI ("this id really lives over there"),
         # the id→URI external-resolver form
         # (loaders/ExternalResolversHelper.java:1-101; the id→schema form

@@ -87,6 +87,7 @@ class SparkValidator:
         regex_factory=None,  # pattern -> search predicate (RegexFactory hook)
         content_encodings: Optional[dict] = None,  # name -> str -> bytes|None
         content_media_types: Optional[dict] = None,  # name -> str -> parsed|None
+        embedded_spec_enabled: bool = True,  # allowEmbedOriginalSpec analogue
     ):
         if isinstance(schema, str):
             schema = json.loads(schema)
@@ -111,7 +112,9 @@ class SparkValidator:
             content_encodings=self.content_encodings,
             content_media_types=self.content_media_types,
         )
-        self.registry = registry or SchemaRegistry(default_dialect=self.config.dialect)
+        self.registry = registry or SchemaRegistry(
+            default_dialect=self.config.dialect,
+            embedded_spec_enabled=embedded_spec_enabled)
         self.root_uri = self.registry.add(schema)
         self.dialect = self.registry.dialect_of_node(schema) if isinstance(schema, dict) else self.config.dialect
         self.config.dialect = self.dialect

@@ -67,10 +67,15 @@ class ResourceLoaderChain:
 
     def __init__(self, user_loaders: Optional[dict[str, Loader]] = None,
                  catch_all: Optional[Loader] = None,
-                 builtins_enabled: bool = True):
+                 builtins_enabled: bool = True,
+                 embedded_spec_enabled: bool = True):
         self.user_loaders = dict(user_loaders or {})
         self.catch_all = catch_all
         self.builtins_enabled = builtins_enabled
+        # SchemaBuilder.allowEmbedOriginalSpec(false) analogue: drop the
+        # vendored official meta-schemas from the chain so $refs to
+        # json-schema.org specs go to the loaders (SchemaBuilder.java:141)
+        self.embedded_spec_enabled = embedded_spec_enabled
 
     def __call__(self, uri: str) -> Any:
         scheme = urllib.parse.urlsplit(uri).scheme
@@ -88,4 +93,6 @@ class ResourceLoaderChain:
                 continue
             if doc is not None:
                 return doc
+        if not self.embedded_spec_enabled:
+            return None
         return embedded_metaschemas().get(uri.split("#", 1)[0])

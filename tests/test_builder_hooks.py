@@ -159,3 +159,25 @@ def test_id_to_uri_mapping_unmapped_still_fails(tmp_path):
     with pytest.raises(SchemaResolutionError):
         compile_schema({"items": {"$ref": "https://example.test/nowhere"}},
                        registry=reg, dialect="draft7")
+
+
+def test_embedded_original_spec_toggle():
+    """SchemaBuilder.allowEmbedOriginalSpec analogue
+    (SchemaBuilder.java:141-147): by default a $ref to an official
+    json-schema.org spec resolves from the vendored copies without
+    network; with embedded_spec_enabled=False the chain returns None
+    and compilation fails with a resolution error."""
+    from json_schema_spark.core.registry import SchemaResolutionError
+
+    sch = {"$ref": "https://json-schema.org/draft/2020-12/schema"}
+    reg = SchemaRegistry(default_dialect="2020-12")
+    reg.add(sch)
+    kernel = compile_schema(sch, dialect="2020-12", registry=reg)
+    assert kernel.is_valid({"type": "string"})
+    assert not kernel.is_valid({"type": 12})
+
+    reg_off = SchemaRegistry(default_dialect="2020-12",
+                             embedded_spec_enabled=False)
+    reg_off.add(sch)
+    with pytest.raises(SchemaResolutionError):
+        compile_schema(sch, dialect="2020-12", registry=reg_off)
