@@ -6,8 +6,9 @@ round-3's line with per-query min/max spreads inline overflowed its
 capture window, recording parsed=null; spreads now go to the
 ``bench_details.json`` sidecar next to this script):
   {"metric": "bench_total", "value": <total sec>, "unit": "sec",
-   "queries": {...per-query cold sec...}, "queries_warm": {...best-of-3...},
+   "queries": {...per-query cold sec...}, "warm_total": <sec>,
    "sf": <sf>, "files_per_sec": <flagship validated files/sec>, "cpus": N}
+(per-query warm times + spreads: bench_details.json)
 
 The flagship workload is the north-rule job: draft-07 validation of
 the synthetic source-code table (rows ∝ sf), typed-row Column
@@ -186,11 +187,13 @@ def main() -> None:
     with open(sidecar, "w") as f:
         json.dump(side, f, indent=1)
     # the machine-readable line the driver captures: compact separators,
-    # 2-decimal per-query times, no spreads — stays well inside the
-    # driver's stdout tail window (round-3 lesson)
+    # 2-decimal per-query COLD times only — the per-query warm map lives
+    # in the sidecar (warm_total + files_per_sec_warm stay inline). At
+    # 28 queries the cold+warm line hit ~1.9 KB, a new query away from
+    # the ~2 KB tail window that nulled BENCH_r03 — keep headroom.
     compact = dict(payload)
     compact["queries"] = {k: round(v, 2) for k, v in times.items()}
-    compact["queries_warm"] = {k: round(v, 2) for k, v in warm.items()}
+    del compact["queries_warm"]
     print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
     shutil.rmtree(tmp, ignore_errors=True)
