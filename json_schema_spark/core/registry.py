@@ -185,6 +185,9 @@ class SchemaRegistry:
         # (loaders/ExternalResolversHelper.java:1-101; the id→schema form
         # is plain `add`)
         self.uri_mappings: dict[str, str] = {}
+        # raw ref path -> canonical root uri of the doc a mapping loaded
+        # (one load per mapping; reference finds repeats via origin map)
+        self._mapped_docs: dict[str, str] = {}
         # uri -> (dialect, fa) | None | SchemaDialectError (re-raised)
         self._meta_cache: dict[str, Any] = {}
         self._synthetic = 0
@@ -431,11 +434,13 @@ class SchemaRegistry:
     # --------------------------------------------------------- resolve
 
     def add_uri_mapping(self, schema_id: str, uri: str) -> None:
-        """Map a schema ``$id`` to the URI it actually lives at; a
-        ``$ref`` to the id then loads through the loader chain from the
-        mapped location (``ExternalResolversHelper.java:1-101`` id→URI
-        form — complements ``add`` which registers the document
-        directly)."""
+        """Map a schema id to the URI it actually lives at; a ``$ref``
+        whose RAW path equals the id (matched verbatim, before base
+        resolution — ``ExternalResolversHelper.java:20-31`` keys the map
+        by ``foundId``) then loads through the loader chain from the
+        mapped location, taking precedence over registered resources
+        (id→URI external-resolver form — complements ``add`` which
+        registers the document directly)."""
         self.uri_mappings[_strip_fragment(schema_id)] = uri
 
     def base_of(self, node: Any) -> str:
@@ -459,16 +464,34 @@ class SchemaRegistry:
         target = _resolve_uri(base, ref)
         doc_uri, _, fragment = target.partition("#")
         same_doc = not doc_uri
+        raw_path = ref.partition("#")[0]
         doc_uri = doc_uri or base.split("#", 1)[0]
         relative = (not same_doc
                     and not urllib.parse.urlsplit(doc_uri).scheme)
-        # a relative target never matches registry entries; the external
-        # resolver / loader chain still gets a shot first, mirroring
-        # resolvePath's external-resolver-before-default order
-        doc = None if relative else self.docs.get(doc_uri)
+        doc = None
+        # external id→URI mappings are keyed by the RAW ref path (no
+        # base resolution: ExternalResolversHelper.resolve(foundId) gets
+        # resolution.getPath() verbatim) and are consulted BEFORE any
+        # registered resource (resolvePath tries the external resolver
+        # first, SchemasRegistry.java:307-326) — so a mapping can serve
+        # a relative ref with no absolute base, and overrides an
+        # embedded resource registered under the same id
+        mapped = self.uri_mappings.get(raw_path) if raw_path else None
+        if mapped is not None:
+            canon = self._mapped_docs.get(raw_path)
+            if canon is None:
+                loaded = self.loader_chain(mapped)
+                if loaded is not None:
+                    canon = self.add(loaded, mapped)
+                    self._mapped_docs[raw_path] = canon
+            if canon is not None:
+                doc = self.docs.get(canon)
+                doc_uri = canon
+        if doc is None and not relative:
+            # a relative target never matches registry entries
+            doc = self.docs.get(doc_uri)
         if doc is None:
-            load_uri = self.uri_mappings.get(doc_uri, doc_uri)
-            loaded = self.loader_chain(load_uri)
+            loaded = self.loader_chain(doc_uri)
             if loaded is not None:
                 self.add(loaded, doc_uri)
                 # keep the request URI addressable even when the loaded

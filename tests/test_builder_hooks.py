@@ -181,3 +181,38 @@ def test_embedded_original_spec_toggle():
     reg_off.add(sch)
     with pytest.raises(SchemaResolutionError):
         compile_schema(sch, dialect="2020-12", registry=reg_off)
+
+
+def test_id_mapping_matched_on_raw_ref_path(tmp_path):
+    """Mappings are keyed by the RAW ref path, before base resolution
+    (ExternalResolversHelper.resolve(foundId) receives
+    resolution.getPath() verbatim) — so a relative ref string matches a
+    relative mapping key even with no absolute base in scope (where an
+    unmapped relative ref is a compile error)."""
+    target = {"type": "integer"}
+    p = tmp_path / "rel.json"
+    p.write_text(json.dumps(target))
+    reg = SchemaRegistry(default_dialect="2020-12")
+    reg.add_uri_mapping("local/rel-schema", p.as_uri())
+    cs = compile_schema({"items": {"$ref": "local/rel-schema"}},
+                        registry=reg, dialect="2020-12")
+    assert cs.is_valid([1, 2]) is True
+    assert cs.is_valid(["x"]) is False
+
+
+def test_id_mapping_overrides_embedded_resource(tmp_path):
+    """resolvePath consults the external resolver BEFORE idToHolders
+    (SchemasRegistry.java:307-326): a mapping for an id wins over an
+    embedded resource registered under that same id."""
+    p = tmp_path / "override.json"
+    p.write_text(json.dumps({"type": "string"}))
+    reg = SchemaRegistry(default_dialect="2020-12")
+    reg.add_uri_mapping("https://example.test/shadowed", p.as_uri())
+    cs = compile_schema(
+        {"$id": "https://example.test/root",
+         "$defs": {"s": {"$id": "https://example.test/shadowed",
+                         "type": "integer"}},
+         "items": {"$ref": "https://example.test/shadowed"}},
+        registry=reg, dialect="2020-12")
+    assert cs.is_valid(["x"]) is True       # mapped string schema wins
+    assert cs.is_valid([1]) is False        # embedded integer is shadowed
