@@ -185,6 +185,9 @@ class SchemaRegistry:
         # (loaders/ExternalResolversHelper.java:1-101; the id→schema form
         # is plain `add`)
         self.uri_mappings: dict[str, str] = {}
+        # raw ref path -> (document, location-uri) direct mappings
+        # (mapIdToSchema / mapIdToUriAndSchema forms)
+        self.schema_mappings: dict[str, tuple[Any, str]] = {}
         # raw ref path -> canonical root uri of the doc a mapping loaded
         # (one load per mapping; reference finds repeats via origin map)
         self._mapped_docs: dict[str, str] = {}
@@ -441,7 +444,22 @@ class SchemaRegistry:
         mapped location, taking precedence over registered resources
         (id→URI external-resolver form — complements ``add`` which
         registers the document directly)."""
-        self.uri_mappings[_strip_fragment(schema_id)] = uri
+        key = _strip_fragment(schema_id)
+        self.schema_mappings.pop(key, None)  # one resolver per id
+        self.uri_mappings[key] = uri
+
+    def add_schema_mapping(self, schema_id: str, schema: Any,
+                           uri: Optional[str] = None) -> None:
+        """Map a schema id directly to a document
+        (``mapIdToSchema`` / with ``uri`` also ``mapIdToUriAndSchema``,
+        ``ExternalResolversHelper.java:33-63``): a ``$ref`` whose RAW
+        path equals the id resolves to this document without any
+        loader I/O, same precedence as :meth:`add_uri_mapping`."""
+        if isinstance(schema, str):
+            schema = json.loads(schema)
+        key = _strip_fragment(schema_id)
+        self.uri_mappings.pop(key, None)  # one resolver per id
+        self.schema_mappings[key] = (schema, uri or "")
 
     def base_of(self, node: Any) -> str:
         return self._base_by_nodeid.get(id(node), "")
@@ -476,13 +494,18 @@ class SchemaRegistry:
         # first, SchemasRegistry.java:307-326) — so a mapping can serve
         # a relative ref with no absolute base, and overrides an
         # embedded resource registered under the same id
-        mapped = self.uri_mappings.get(raw_path) if raw_path else None
-        if mapped is not None:
+        if raw_path and (raw_path in self.schema_mappings
+                         or raw_path in self.uri_mappings):
             canon = self._mapped_docs.get(raw_path)
             if canon is None:
-                loaded = self.loader_chain(mapped)
+                direct = self.schema_mappings.get(raw_path)
+                if direct is not None:
+                    loaded, at = direct
+                else:
+                    at = self.uri_mappings[raw_path]
+                    loaded = self.loader_chain(at)
                 if loaded is not None:
-                    canon = self.add(loaded, mapped)
+                    canon = self.add(loaded, at)
                     self._mapped_docs[raw_path] = canon
             if canon is not None:
                 doc = self.docs.get(canon)

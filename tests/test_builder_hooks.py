@@ -216,3 +216,33 @@ def test_id_mapping_overrides_embedded_resource(tmp_path):
         registry=reg, dialect="2020-12")
     assert cs.is_valid(["x"]) is True       # mapped string schema wins
     assert cs.is_valid([1]) is False        # embedded integer is shadowed
+
+
+def test_id_to_schema_mapping_direct_and_with_uri():
+    """mapIdToSchema / mapIdToUriAndSchema analogues
+    (ExternalResolversHelper.java:33-63): a ref whose raw path equals
+    the id resolves to the mapped document without loader I/O; the
+    with-URI form registers the document under that location so its
+    internal relative structure resolves there."""
+    reg = SchemaRegistry(default_dialect="2020-12")
+    reg.add_schema_mapping("urn:mapped:direct", {"type": "integer"})
+    cs = compile_schema({"items": {"$ref": "urn:mapped:direct"}},
+                        registry=reg, dialect="2020-12")
+    assert cs.is_valid([3]) is True
+    assert cs.is_valid(["x"]) is False
+
+    reg2 = SchemaRegistry(default_dialect="2020-12")
+    reg2.add_schema_mapping(
+        "local/with-uri",
+        {"$defs": {"n": {"type": "number"}}, "$ref": "#/$defs/n"},
+        uri="https://example.test/located.json")
+    cs2 = compile_schema({"items": {"$ref": "local/with-uri"}},
+                         registry=reg2, dialect="2020-12")
+    assert cs2.is_valid([1.5]) is True
+    assert cs2.is_valid(["x"]) is False
+
+    # one resolver per id: a later uri-mapping evicts the schema form
+    reg3 = SchemaRegistry(default_dialect="2020-12")
+    reg3.add_schema_mapping("urn:m", {"type": "integer"})
+    reg3.add_uri_mapping("urn:m", "https://example.test/nowhere")
+    assert "urn:m" not in reg3.schema_mappings
