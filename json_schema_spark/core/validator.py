@@ -252,6 +252,15 @@ class _Compiler:
         dialect = self.registry.dialect_of_node(node) or self.config.dialect
         base = self.registry.base_of(node)
 
+        # post-draft-7: a non-string $id on a COMPILED node is a compile
+        # error (IdCompiler.resolveCompilationOrder reads textValue()
+        # unconditionally — null NPEs; reference-probe verified: error on
+        # reachable nodes, fine inside never-compiled $defs; the
+        # preprocessor's optId only filters it from resource REGISTRATION)
+        if dialect != "draft7" and "$id" in node \
+                and not isinstance(node["$id"], str):
+            raise SchemaCompileError("the $id must be a string")
+
         # draft-07: $ref replaces all sibling keywords (RefCompiler.java:50-66)
         if "$ref" in node and dialect == "draft7":
             target = self.registry.resolve_ref(node["$ref"], base)

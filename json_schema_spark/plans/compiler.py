@@ -36,7 +36,7 @@ from pyspark.sql import Column, functions as F
 from pyspark.sql import types as T
 
 from ..core.jsonvalue import to_decimal
-from ..core.registry import SchemaRegistry
+from ..core.registry import SchemaCompileError, SchemaRegistry
 from ..functions.formats import (FORMAT_REGEXES, JavaOnlyRegex,
                                  JavaRegexError, compile_java_pattern)
 
@@ -229,6 +229,12 @@ class _BaseCompiler:
             return [Check(self.v_present(val), self._ptr(path), "false", "schema is false")]
         if not isinstance(node, dict):
             raise ExprUnsupported(f"schema must be object/bool, got {type(node).__name__}")
+
+        # post-draft-7 non-string $id on a compiled node: compile error
+        # (IdCompiler textValue() NPE — kernel _build has the same guard)
+        if self.dialect != "draft7" and "$id" in node \
+                and not isinstance(node["$id"], str):
+            raise SchemaCompileError("the $id must be a string")
 
         if "$ref" in node:
             base = self.registry.base_of(node)

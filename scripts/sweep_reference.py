@@ -102,44 +102,20 @@ def sweep_targeted(run, seeds):
     return total, mismatches
 
 
-def sweep_formats(run, seeds):
-    """Fresh-seed format fuzz: same pools/mutator/skip rules as
-    tests/test_reference_format_fuzz.py but re-seeded per sweep."""
-    from tests.test_reference_format_fuzz import (
-        FORMAT_VALIDATORS, SEEDS, _garbage_alabel, _has_rtl, _mutate)
+def sweep_scalar_functions(run, seeds):
+    """Delegate to scripts/sweep_formats.py (formats + content — the
+    scalar-function companion sweep) so one entry point covers every
+    family with fresh seeds."""
+    from scripts.sweep_formats import sweep_content, sweep_formats
 
     total = mismatches = 0
     for seed in seeds:
-        for fmt, mine in sorted(FORMAT_VALIDATORS.items()):
-            rng = random.Random(f"fmt-sweep-{fmt}-{seed}")
-            pool = list(SEEDS.get(fmt, []))
-            others = [s for k, v in SEEDS.items() if k != fmt for s in v]
-            pool += rng.sample(others, min(20, len(others)))
-            for s in list(pool):
-                for _ in range(6):
-                    pool.append(_mutate(rng, s))
-            schema = json.dumps({"format": fmt})
-            got = run([(schema, json.dumps(s), "2020-12", True)
-                       for s in pool])
-            for s, g in zip(pool, got):
-                if g == "e":
-                    continue
-                if fmt in ("idn-hostname", "idn-email") and _has_rtl(s):
-                    continue
-                if fmt in ("hostname", "idn-hostname", "email", "idn-email") \
-                        and _garbage_alabel(s):
-                    continue
-                total += 1
-                try:
-                    v = "t" if mine(s) else "f"
-                except Exception as e:
-                    mismatches += 1
-                    print("FORMAT-RAISE", fmt, repr(s), repr(e))
-                    continue
-                if v != g:
-                    mismatches += 1
-                    print("FORMAT-MISMATCH", fmt, repr(s), "ref:", g,
-                          "mine:", v)
+        for fam in (sweep_formats, sweep_content):
+            t, m, bad = fam(run, seed)
+            total += t
+            mismatches += m
+            for b in bad:
+                print("SCALAR-MISMATCH", b)
     return total, mismatches
 
 
@@ -189,8 +165,8 @@ def main():
         print(f"compile-reject: {t3} compared, {m3} mismatches")
         t4, m4 = sweep_targeted(run, seeds)
         print(f"targeted-instances: {t4} compared, {m4} mismatches")
-        t5, m5 = sweep_formats(run, seeds[: max(2, n // 4)])
-        print(f"formats: {t5} compared, {m5} mismatches")
+        t5, m5 = sweep_scalar_functions(run, seeds[: max(2, n // 4)])
+        print(f"formats+content: {t5} compared, {m5} mismatches")
         total_m = m1 + m2 + m3 + m4 + m5
         print(f"TOTAL: {t1 + t2 + t3 + t4 + t5} comparisons, "
               f"{total_m} mismatches")
