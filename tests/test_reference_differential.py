@@ -691,3 +691,45 @@ def test_error_pointers_targeted_instances(ref, draft, seed):
     # exact vs 0.7+ on blind docs; the subset gate above is the parity
     # statement, the ratio just pins the roll-up rate from drifting
     assert checked > 150 and exact / checked > 0.6, (checked, exact)
+
+
+def test_nonstring_id_compile_locus(ref):
+    """Non-string ``$id``: post-draft-7 it is a compile error on any
+    COMPILED (reachable) node — IdCompiler.resolveCompilationOrder
+    reads textValue() unconditionally — but legal inside never-compiled
+    $defs; draft-7 errors even unreached (preprocessor walk). 11-case
+    battery, verdict-compared against the compiled reference."""
+    from json_schema_spark.core.validator import compile_schema
+
+    cases = [
+        ({"$id": [1, 2], "type": "integer"}, "2020-12"),
+        ({"properties": {"a": {"$id": 5, "type": "integer"}}}, "2020-12"),
+        ({"$defs": {"dead": {"$id": 5, "type": "integer"}},
+          "type": "integer"}, "2020-12"),
+        ({"$id": [1, 2], "type": "integer"}, "2019-09"),
+        ({"$id": [1, 2], "type": "integer"}, "draft7"),
+        ({"properties": {"a": {"$id": 5, "type": "integer"}}}, "draft7"),
+        ({"definitions": {"dead": {"$id": 5, "type": "integer"}},
+          "type": "integer"}, "draft7"),
+        ({"$id": True, "type": "integer"}, "2020-12"),
+        ({"$id": 7, "type": "integer"}, "2020-12"),
+        ({"$id": 5, "$ref": "#/definitions/d",
+          "definitions": {"d": {"type": "integer"}}}, "draft7"),
+        ({"$id": 5, "$ref": "#/$defs/d",
+          "$defs": {"d": {"type": "integer"}}}, "2020-12"),
+    ]
+    batch = [(json.dumps(s), "3", d, False) for s, d in cases]
+    batch += [(json.dumps(s), "\"x\"", d, False) for s, d in cases]
+    got = ref(batch)
+    n = len(cases)
+    bad = []
+    for i, (s, d) in enumerate(cases):
+        try:
+            k = compile_schema(s, dialect=d)
+            mine = ("t" if k.is_valid(3) else "f") \
+                + ("t" if k.is_valid("x") else "f")
+        except Exception:
+            mine = "cc"
+        if mine != got[i] + got[n + i]:
+            bad.append((s, d, got[i] + got[n + i], mine))
+    assert not bad, bad
