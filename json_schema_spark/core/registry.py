@@ -12,6 +12,8 @@ Runs entirely on the Spark driver — executors never resolve schemas.
 from __future__ import annotations
 
 import json
+import re
+import unicodedata
 import urllib.parse
 from typing import Any, Callable, Optional
 
@@ -146,6 +148,79 @@ def _resolve_uri(base: str, ref: str) -> str:
     if not base:
         return ref
     return urllib.parse.urljoin(base, ref)
+
+
+# java.net.URI character classes (URI.java javadoc): unreserved
+# alnum + "_-!.~'()*", punct ",;:$&+=", reserved adds "?/[]@" — with
+# '[' ']' legal only inside the authority component; '%' must start a
+# two-hex-digit escape; at most one '#'; non-ASCII "other" characters
+# are allowed unless they are Unicode space (Zs/Zl/Zp) or ISO control.
+_URI_CHARS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    "_-!.~'()*,;:$&+=?/@")
+_SCHEME_RE = re.compile(r"[A-Za-z][A-Za-z0-9+.\-]*\Z")
+_BAD_PCT = re.compile(r"%(?![0-9A-Fa-f]{2})")
+
+
+def _java_uri_error(s: str) -> Optional[str]:
+    """Why ``java.net.URI`` would reject ``s`` (None = accepted).
+
+    The reference URI-validates every REGISTERED resource ``$id``
+    (``SchemaPreprocessor.resolveId`` → ``URI.create``,
+    reference-probe: whitespace/brace/backslash/bad-%% ids are compile
+    errors in every position incl. never-compiled $defs) and the
+    non-blank PATH part of a ref (``applyDefaultResolution``). Ref
+    fragments are NOT URI-validated (they go through URLDecoder
+    instead — see resolve_ref)."""
+    if _BAD_PCT.search(s):
+        return "malformed percent escape"
+    # authority span, where '[' ']' (IPv6 literals) are legal
+    auth_lo = auth_hi = -1
+    m = re.search(r"//", s)
+    if m is not None and not any(c in s[:m.start()] for c in "/?#"):
+        auth_lo = m.end()
+        auth_hi = min((s.find(c, auth_lo) % (len(s) + 1)
+                       for c in "/?#"), default=len(s))
+    seen_hash = False
+    for i, ch in enumerate(s):
+        cp = ord(ch)
+        if cp >= 0x80:
+            if unicodedata.category(ch) in ("Zs", "Zl", "Zp") \
+                    or 0x7F <= cp <= 0x9F:
+                return f"illegal character {ch!r}"
+            continue
+        if ch == "#":
+            if seen_hash:
+                return "second '#'"
+            seen_hash = True
+            continue
+        if ch in "[]":
+            if not (auth_lo <= i < auth_hi):
+                return f"'{ch}' outside authority"
+            continue
+        if ch == "%" or ch in _URI_CHARS:
+            continue
+        return f"illegal character {ch!r}"
+    # scheme syntax: a ':' before any '/?#' marks the scheme
+    for i, ch in enumerate(s):
+        if ch in "/?#":
+            break
+        if ch == ":":
+            if not _SCHEME_RE.match(s[:i] or " "):
+                return f"invalid scheme {s[:i]!r}"
+            break
+    return None
+
+
+def _urldecode_fragment(fragment: str) -> str:
+    """Reference fragment handling (``resolveFragment``,
+    ``SchemasRegistry.java:406-421``): ``URLDecoder.decode`` — FORM
+    decoding, so '+' becomes a space and a malformed %%-escape throws —
+    applied before JSON-pointer compilation / anchor lookup."""
+    if _BAD_PCT.search(fragment):
+        raise SchemaCompileError(
+            f"malformed percent escape in fragment {fragment!r}")
+    return urllib.parse.unquote_plus(fragment)
 
 
 class SchemaRegistry:
@@ -358,6 +433,13 @@ class SchemaRegistry:
                 # (optId filters isTextual, :47-52)
                 resource_id = rawid
         if resource_id is not None:
+            uri_err = _java_uri_error(resource_id)
+            if uri_err is not None:
+                # resolveId URI.create throws (reference-probe: every
+                # registered position, reached or not, every dialect —
+                # only draft-7 $ref-suppressed ids escape validation)
+                raise SchemaCompileError(
+                    f"invalid $id {resource_id!r}: {uri_err}")
             if urllib.parse.urlsplit(resource_id).fragment:
                 # resolveId checkIt (:35): a resource $id must not
                 # carry a non-empty fragment (empty '#' is fine)
@@ -479,10 +561,29 @@ class SchemaRegistry:
         suppressed by a ``$ref`` sibling) are registered but UNREACHABLE
         (reference-probe verified). Fragment-only refs stay in the
         current resource regardless of its base's shape."""
+        raw_path, _, raw_frag = ref.partition("#")
+        if raw_path and raw_path.strip() == "":
+            # RefResolutionResult.hasPath uses isBlank(): a whitespace-
+            # only path part means "no path" — same-document ref. (With
+            # no fragment either, the reference self-loops into a stack
+            # overflow at validation; the compile error below is our
+            # documented sane verdict for that corner.)
+            ref = "#" + raw_frag
+            raw_path = ""
+        elif raw_path:
+            uri_err = _java_uri_error(raw_path)
+            if uri_err is not None:
+                # applyDefaultResolution URI.create throws on the path
+                # part only (fragments are URLDecoder territory)
+                raise SchemaCompileError(
+                    f"invalid $ref {ref!r}: {uri_err}")
         target = _resolve_uri(base, ref)
         doc_uri, _, fragment = target.partition("#")
+        # reference split("#") keeps parts[1] only — a second '#'
+        # truncates the fragment rather than erroring
+        fragment = fragment.partition("#")[0]
+        fragment = _urldecode_fragment(fragment)
         same_doc = not doc_uri
-        raw_path = ref.partition("#")[0]
         doc_uri = doc_uri or base.split("#", 1)[0]
         relative = (not same_doc
                     and not urllib.parse.urlsplit(doc_uri).scheme)

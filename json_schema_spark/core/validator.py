@@ -484,7 +484,8 @@ class _Compiler:
     def _kw_dynamic_ref(self, ref: str, base: str) -> Callable:
         target = self.registry.resolve_ref(ref, base)
         static_sub = self._sub(target)
-        frag = ref.partition("#")[2]
+        from .registry import _urldecode_fragment
+        frag = _urldecode_fragment(ref.partition("#")[2].partition("#")[0])
         is_anchor = bool(frag) and not frag.startswith("/")
         dyn_name = frag if is_anchor and isinstance(target, dict) and target.get("$dynamicAnchor") == frag else None
         registry = self.registry

@@ -733,3 +733,66 @@ def test_nonstring_id_compile_locus(ref):
         if mine != got[i] + got[n + i]:
             bad.append((s, d, got[i] + got[n + i], mine))
     assert not bad, bad
+
+
+def test_uri_grammar_battery(ref):
+    """java.net.URI grammar enforcement loci (reference-probe pinned):
+    registered resource $ids are URI.create-validated in EVERY position
+    (reached or not, every dialect; only draft-7 $ref-suppressed ids
+    escape); ref PATH parts are validated when non-blank; ref FRAGMENTS
+    are never URI-validated — they go through URLDecoder (form decode:
+    '+' → space, %XX strict) before pointer/anchor lookup; a second '#'
+    truncates; '[' ']' are legal only in the authority."""
+    from json_schema_spark.core.validator import compile_schema
+
+    def idcase(idv, draft="2020-12", reached=True):
+        c = "definitions" if draft == "draft7" else "$defs"
+        if reached:
+            return ({"$id": idv, "type": "integer"}, draft)
+        return ({c: {"dead": {"$id": idv, "type": "integer"}},
+                 "type": "integer"}, draft)
+
+    cases = [
+        idcase("   "), idcase("   ", reached=False),
+        idcase("   ", "draft7"), idcase("   ", "draft7", reached=False),
+        idcase("http://x/%zz"), idcase("http://x/a b"),
+        idcase("http://x/héllo"), idcase(""), idcase("1http://x/"),
+        idcase("http://x/a\tb"), idcase("http://x/{a}"),
+        idcase("http:\\\\x"), idcase("http://x/a[1]"),
+        idcase("http://[::1]/a"),
+        ({"$defs": {"d": {"type": "integer"}}, "$ref": "#/$defs/d "},
+         "2020-12"),
+        ({"$defs": {"d": {"type": "integer"}},
+          "allOf": [{"$ref": "#%zz"}]}, "2020-12"),
+        ({"$defs": {"d": {"$anchor": "a b", "type": "integer"}},
+          "$ref": "#a%20b"}, "2020-12"),
+        ({"$defs": {"d": {"$anchor": "a b", "type": "integer"}},
+          "$ref": "#a+b"}, "2020-12"),
+        ({"$id": "   ", "$ref": "#/definitions/d",
+          "definitions": {"d": {"type": "integer"}}}, "draft7"),
+        ({"definitions": {"d": {"$id": "#a b", "type": "integer"}},
+          "$ref": "#a b"}, "draft7"),
+        ({"definitions": {"d": {"$id": "#a b", "type": "integer"}},
+          "$ref": "#a%20b"}, "draft7"),
+        ({"$defs": {"a b": {"type": "integer"}},
+          "$ref": "#/$defs/a%20b"}, "2020-12"),
+        ({"$defs": {"a/b": {"type": "integer"}},
+          "$ref": "#/$defs/a~1b"}, "2020-12"),
+        ({"$defs": {"d": {"$anchor": "a", "type": "integer"}},
+          "$ref": "#a#b"}, "2020-12"),
+    ]
+    batch = [(json.dumps(s), "3", d, False) for s, d in cases]
+    batch += [(json.dumps(s), "\"x\"", d, False) for s, d in cases]
+    got = ref(batch)
+    n = len(cases)
+    bad = []
+    for i, (s, d) in enumerate(cases):
+        try:
+            k = compile_schema(s, dialect=d)
+            mine = ("t" if k.is_valid(3) else "f") \
+                + ("t" if k.is_valid("x") else "f")
+        except Exception:
+            mine = "cc"
+        if mine != got[i] + got[n + i]:
+            bad.append((s, d, got[i] + got[n + i], mine))
+    assert not bad, bad
