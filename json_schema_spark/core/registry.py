@@ -399,12 +399,20 @@ class SchemaRegistry:
         table[key] = node
         self._anchor_pass[meta] = self._scan_pass
 
-    def _scan(self, node: Any, base: str, dialect: str, fa: bool = False) -> None:
+    def _scan(self, node: Any, base: str, dialect: str, fa: bool = False,
+              root: bool = True) -> None:
         if isinstance(node, bool) or not isinstance(node, dict):
             return
-        info = self._dialect_info(node)
-        if info is not None:
-            dialect, fa = info
+        if root:
+            # $schema is honored ONLY at a loaded document's root
+            # (registerSchema -> DialectResolver.resolveDialect on the
+            # document node, SchemasRegistry.java:77-79); a nested
+            # $schema -- even beside $id -- is inert (reference-probe:
+            # cross-dialect nested/embedded $schema never switches
+            # keyword activity)
+            info = self._dialect_info(node)
+            if info is not None:
+                dialect, fa = info
         post7 = dialect != "draft7"
 
         # --- $id (SchemaPreprocessor.java:32-64,195-199) ---------------
@@ -490,31 +498,31 @@ class SchemaRegistry:
             sub = node.get(kw)
             if isinstance(sub, dict):
                 for v in sub.values():
-                    self._scan(v, base, dialect, fa)
+                    self._scan(v, base, dialect, fa, root=False)
         for kw, dialects in _WALK_LIST.items():
             if dialect not in dialects:
                 continue
             sub = node.get(kw)
             if isinstance(sub, list):
                 for v in sub:
-                    self._scan(v, base, dialect, fa)
+                    self._scan(v, base, dialect, fa, root=False)
         for kw, dialects in _WALK_SINGLE.items():
             if dialect in dialects and kw in node:
-                self._scan(node[kw], base, dialect, fa)
+                self._scan(node[kw], base, dialect, fa, root=False)
         items = node.get("items")
         if isinstance(items, list):
             # list-form items is a schema position only pre-2020-12
             # (Items2020's preprocess skips non-object nodes)
             if dialect != "2020-12":
                 for v in items:
-                    self._scan(v, base, dialect, fa)
+                    self._scan(v, base, dialect, fa, root=False)
         elif items is not None:
-            self._scan(items, base, dialect, fa)
+            self._scan(items, base, dialect, fa, root=False)
         deps = node.get("dependencies")
         if isinstance(deps, dict):
             for v in deps.values():
                 if isinstance(v, (dict, bool)):
-                    self._scan(v, base, dialect, fa)
+                    self._scan(v, base, dialect, fa, root=False)
 
     # --------------------------------------------------------- resolve
 
@@ -633,7 +641,8 @@ class SchemaRegistry:
             node = json_pointer_get(doc, fragment)
             if isinstance(node, dict) and id(node) not in self._base_by_nodeid:
                 self._scan_pass += 1
-                self._scan(node, doc_uri, self.dialect_of_node(doc))
+                self._scan(node, doc_uri, self.dialect_of_node(doc),
+                           self._fa_by_nodeid.get(id(doc), False), root=False)
             return node
         key = (doc_uri, fragment)
         if key in self.anchors:

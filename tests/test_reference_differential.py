@@ -796,3 +796,47 @@ def test_uri_grammar_battery(ref):
         if mine != got[i] + got[n + i]:
             bad.append((s, d, got[i] + got[n + i], mine))
     assert not bad, bad
+
+
+def test_nested_schema_keyword_is_inert(ref):
+    """$schema is honored ONLY at a loaded document's root
+    (registerSchema → DialectResolver.resolveDialect on the document
+    node, SchemasRegistry.java:77-79): a nested $schema — even beside
+    $id on an embedded resource — never switches keyword activity
+    (reference-probe pinned: cross-dialect prefixItems / tuple-items
+    stay governed by the document dialect)."""
+    from json_schema_spark.core.validator import compile_schema
+
+    d7 = "http://json-schema.org/draft-07/schema#"
+    d2020 = "https://json-schema.org/draft/2020-12/schema"
+    cases = [
+        ({"properties": {"a": {"$schema": d2020,
+          "prefixItems": [{"type": "integer"}, {"type": "integer"}]}}},
+         "draft7"),
+        ({"properties": {"a": {"$schema": d7,
+          "items": [{"type": "integer"}, {"type": "integer"}]}}},
+         "2020-12"),
+        ({"$id": "http://fuzz.test/r",
+          "properties": {"a": {"$id": "http://fuzz.test/sub",
+          "$schema": d7,
+          "items": [{"type": "integer"}, {"type": "integer"}]}}},
+         "2020-12"),
+        ({"$id": "http://fuzz.test/r",
+          "properties": {"a": {"$id": "http://fuzz.test/sub",
+          "$schema": d2020, "prefixItems": [{"type": "integer"}]}}},
+         "draft7"),
+    ]
+    docs = [{"a": [5, "x"]}, {"a": ["x"]}, {"a": [1, 2]}]
+    batch = [(json.dumps(s), json.dumps(doc), d, False)
+             for s, d in cases for doc in docs]
+    got = ref(batch)
+    bad = []
+    i = 0
+    for s, d in cases:
+        kernel = compile_schema(s, dialect=d)
+        mine = "".join("t" if kernel.is_valid(doc) else "f" for doc in docs)
+        refv = "".join(got[i:i + 3])
+        i += 3
+        if mine != refv:
+            bad.append((s, d, refv, mine))
+    assert not bad, bad
