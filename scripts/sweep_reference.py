@@ -37,6 +37,30 @@ def build(tmp: pathlib.Path):
     return run_plain
 
 
+_DIALECT_URIS = ("http://json-schema.org/draft-07/schema#",
+                 "https://json-schema.org/draft/2019-09/schema",
+                 "https://json-schema.org/draft/2020-12/schema")
+
+
+def _inject_nested_schema(rng, sch):
+    """Drop a cross-dialect $schema into a random SUBSCHEMA: it must be
+    inert in both engines (dialect resolves per document root only —
+    reference-probe pinned; the jsonschema LIBRARY follows the spec
+    instead, so this runs only in the reference-facing sweep)."""
+    subs = []
+    stack = [sch]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, dict):
+            if n is not sch:
+                subs.append(n)
+            stack.extend(n.values())
+        elif isinstance(n, list):
+            stack.extend(n)
+    if subs:
+        rng.choice(subs)["$schema"] = rng.choice(_DIALECT_URIS)
+
+
 def sweep_verdicts(run, seeds, taa=False):
     total = mismatches = 0
     for seed in seeds:
@@ -45,6 +69,8 @@ def sweep_verdicts(run, seeds, taa=False):
             cases, kernels = [], []
             for _ in range(200):
                 sch = gen.schema(rng, draft, top=True)
+                if isinstance(sch, dict) and rng.random() < 0.15:
+                    _inject_nested_schema(rng, sch)
                 try:
                     kernel = compile_schema(sch, config=CompileConfig(
                         dialect=draft, treat_as_array=taa))
