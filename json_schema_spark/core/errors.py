@@ -113,10 +113,13 @@ KEYWORD_TO_KIND: dict[str, ErrorKind] = {
 def error_kind_of(keyword: str, message: str = "") -> ErrorKind:
     if keyword == "oneOf" and message:
         # two reference kinds share the keyword: EErrorType
-        # ONE_OF_EMPTY vs ONE_OF_MORE_THAN_ONE; both engines prefix the
-        # zero-match message with the count (no message -> the map's
-        # ONE_OF_EMPTY default, same as the message-less Column form)
-        return (ErrorKind.ONE_OF_EMPTY if message.startswith("0 ")
+        # ONE_OF_EMPTY vs ONE_OF_MORE_THAN_ONE. The kernel now emits
+        # the reference's exact getError() strings ("None of the
+        # results were successful." / "More than one successful
+        # results."); the Column path still prefixes the zero-match
+        # message with the count. Accept both spellings.
+        return (ErrorKind.ONE_OF_EMPTY
+                if message.startswith("0 ") or message.startswith("None")
                 else ErrorKind.ONE_OF_MORE_THAN_ONE)
     return KEYWORD_TO_KIND.get(keyword, ErrorKind.OTHER)
 
@@ -136,6 +139,7 @@ def error_kind_col(keyword: Column, message: Column = None) -> Column:
         return base
     return F.when(
         keyword == "oneOf",
-        F.when(message.startswith("0 "), F.lit(ErrorKind.ONE_OF_EMPTY.value))
+        F.when(message.startswith("0 ") | message.startswith("None"),
+               F.lit(ErrorKind.ONE_OF_EMPTY.value))
          .otherwise(F.lit(ErrorKind.ONE_OF_MORE_THAN_ONE.value)),
     ).otherwise(base)

@@ -19,7 +19,10 @@ from __future__ import annotations
 
 import json
 from decimal import Decimal
+from functools import lru_cache
 from typing import Any
+
+from .javadouble import java17_double_repr
 
 __all__ = [
     "parse_json",
@@ -48,15 +51,26 @@ def double_canonical(lexeme_or_float) -> Decimal:
     """Jackson parses JSON float literals to DOUBLE first (lossy beyond
     ~17 significant digits; overflow → ±Infinity, underflow → 0.0), and
     the engine's exact-decimal arithmetic runs on
-    ``BigDecimal.valueOf(double)`` — the double's shortest round-trip
-    decimal form. ``repr(float)`` is Python's exact equivalent.
+    ``BigDecimal.valueOf(double)`` — ``new BigDecimal(
+    Double.toString(d))``. On the reference's JDK (17) that string is
+    the PRE-RYŪ FloatingDecimal rendering, which is NOT always the
+    shortest round-trip form (JDK-4511638): ``Double.toString(2^62)``
+    is ``4.6116860184273879E18`` where Python ``repr`` gives
+    ``4.611686018427388e+18`` — and the two differ mod 3, flipping a
+    ``multipleOf`` verdict. Hence :func:`java17_double_repr` (a
+    bytecode-faithful port, JVM-differential-tested), not ``repr``.
     Reference-probe verified: ``1.0000000000000000000000000001`` IS a
     ``multipleOf`` itself and an integer (== 1.0), ``1e-330`` == 0,
     ``const: 1e309`` accepts ``1e309`` (Infinity == Infinity)."""
     f = float(lexeme_or_float)
     if f != f or f in (float("inf"), float("-inf")):
         return Decimal(f)  # ±Infinity / NaN pass through
-    return Decimal(repr(f))
+    return _java_decimal_cached(f)
+
+
+@lru_cache(maxsize=4096)
+def _java_decimal_cached(f: float) -> Decimal:
+    return Decimal(java17_double_repr(f))
 
 
 def parse_json(text: str) -> Any:
@@ -78,8 +92,8 @@ def to_decimal(v: Any) -> Decimal:
     if isinstance(v, int):
         return Decimal(v)
     # float that did not come from parse_json (e.g. schema authored in
-    # Python); str() gives the shortest round-tripping literal.
-    return Decimal(str(v))
+    # Python): same Jackson double model as parse_json
+    return double_canonical(v)
 
 
 def is_integerish(v: Any) -> bool:

@@ -47,6 +47,13 @@ from .jsonvalue import (
     to_decimal,
     type_matches,
 )
+from .messages import (
+    jackson_as_text,
+    jackson_to_string,
+    java_hashset_order,
+    mime_type_str,
+    render_message,
+)
 from .registry import (SchemaCompileError, SchemaRegistry,
                        SchemaResolutionError)
 
@@ -235,7 +242,7 @@ class _Compiler:
             collect = self.config.collect_errors
 
             def always_fail(inst, path, scope):
-                errs = [(path, "false", "schema is false")] if collect else None
+                errs = [(path, "false", render_message("FALSE_SCHEMA"))] if collect else None
                 return False, errs, None
 
             return always_fail
@@ -518,10 +525,13 @@ class _Compiler:
         # treat-as-array: "array" accepts any node (TypeCompiler.java:96-103)
         taa = self.config.treat_as_array and "array" in types
 
-        def kv(inst, path, scope, ann, errors):
+        def kv(inst, path, scope, ann, errors, _arg=arg):
             if taa or any(type_matches(inst, t) for t in types):
                 return True
-            self._err(errors, path, "type", f"expected {'/'.join(types)}")
+            # TypeCompiler.java:61-66: args = (instance.asText(), the
+            # raw type keyword node)
+            self._err(errors, path, "type", render_message(
+                "TYPE", jackson_as_text(inst), jackson_to_string(_arg)))
             return False
 
         return kv
@@ -532,13 +542,15 @@ class _Compiler:
         except TypeError as e:  # pragma: no cover
             raise SchemaCompileError(str(e)) from e
 
-        def kv(inst, path, scope, ann, errors):
+        def kv(inst, path, scope, ann, errors, _values=values):
             try:
                 if canon_key(inst) in keys:
                     return True
             except TypeError:
                 pass
-            self._err(errors, path, "enum", "value not in enum")
+            # EnumCompiler.java:57: args = (node, the enum array node)
+            self._err(errors, path, "enum", render_message(
+                "ENUM", jackson_to_string(inst), jackson_to_string(_values)))
             return False
 
         return kv
@@ -550,7 +562,9 @@ class _Compiler:
         def kv(inst, path, scope, ann, errors):
             if const_equal(inst, value):
                 return True
-            self._err(errors, path, "const", "value differs from const")
+            # ConstCompiler.java:37: args = (node, schemaNode)
+            self._err(errors, path, "const", render_message(
+                "CONST", jackson_to_string(inst), jackson_to_string(value)))
             return False
 
         return kv
@@ -566,12 +580,21 @@ class _Compiler:
             "exclusiveMaximum": lambda v: v < bound,
         }[kw]
 
-        def kv(inst, path, scope, ann, errors):
+        kind = {
+            "minimum": "MINIMUM", "maximum": "MAXIMUM",
+            "exclusiveMinimum": "EXCLUSIVE_MINIMUM",
+            "exclusiveMaximum": "EXCLUSIVE_MAXIMUM",
+        }[kw]
+
+        def kv(inst, path, scope, ann, errors, _arg=arg):
             if not is_number(inst):
                 return True  # type-gated no-op (BaseNumberCompiler.java:28-31)
             if op(to_decimal(inst)):
                 return True
-            self._err(errors, path, kw, f"violates {kw} {bound}")
+            # MaximumCompiler.java:33 etc: args = (instance node,
+            # schema node)
+            self._err(errors, path, kw, render_message(
+                kind, jackson_to_string(inst), jackson_to_string(_arg)))
             return False
 
         return kv
@@ -590,7 +613,10 @@ class _Compiler:
                 ok = False
             if ok:
                 return True
-            self._err(errors, path, "multipleOf", f"not a multiple of {m}")
+            # MultipleOfCompiler.java:44: args = (node, schemaNode)
+            self._err(errors, path, "multipleOf", render_message(
+                "MULTIPLE_OF", jackson_to_string(inst),
+                jackson_to_string(arg)))
             return False
 
         return kv
@@ -635,7 +661,10 @@ class _Compiler:
                 return True
             if pred(inst):  # search semantics, not full match
                 return True
-            self._err(errors, path, "pattern", f"does not match /{pattern}/")
+            # PatternCompiler.java:44: args = (node.asText(), pattern) —
+            # both raw strings, no JSON quoting
+            self._err(errors, path, "pattern",
+                      render_message("PATTERN", inst, pattern))
             return False
 
         return kv
@@ -648,11 +677,16 @@ class _Compiler:
             if not isinstance(inst, str):
                 return True
             n = len(inst)  # Python str length == code points
+            # BaseLengthCompiler.java:49: args = (limit, codePointCount)
+            # — two args against three placeholders, so {2} stays
+            # literal (MessageFormat drops nothing silently)
             if lo_i is not None and n < lo_i:
-                self._err(errors, path, "minLength", f"length {n} < {lo_i}")
+                self._err(errors, path, "minLength",
+                          render_message("MIN_LENGTH", lo_i, n))
                 return False
             if hi_i is not None and n > hi_i:
-                self._err(errors, path, "maxLength", f"length {n} > {hi_i}")
+                self._err(errors, path, "maxLength",
+                          render_message("MAX_LENGTH", hi_i, n))
                 return False
             return True
 
@@ -687,7 +721,10 @@ class _Compiler:
                 return True
             if _fn(inst):
                 return True
-            self._err(errors, path, "format", f"not a valid {name}")
+            # FormatCompiler.java:109: args = (instance NODE, format) —
+            # the node renders with its JSON quotes
+            self._err(errors, path, "format", render_message(
+                "FORMAT", jackson_to_string(inst), name))
             return False
 
         return kv
@@ -708,17 +745,26 @@ class _Compiler:
             if encoding is not None:
                 ok, text = content_mod.decode_content(encoding, inst, enc_over)
                 if not ok:
-                    self._err(errors, path, "contentEncoding", f"invalid {encoding} content")
+                    # ContentUtils.java:36-41: arg = the contentEncoding
+                    # keyword value
+                    self._err(errors, path, "contentEncoding",
+                              render_message("CONTENT_ENCODING", encoding))
                     return False
             parsed = None
             have_parsed = False
             if media is not None:
                 if text is None:
-                    self._err(errors, path, "contentMediaType", "content is not text")
+                    self._err(errors, path, "contentMediaType",
+                              render_message("CONTENT_TYPE",
+                                             mime_type_str(media)))
                     return False
                 ok, parsed = content_mod.parse_media_type(media, text, mt_over)
                 if not ok:
-                    self._err(errors, path, "contentMediaType", f"not parseable as {media}")
+                    # ContentUtils.java:46-51: arg = the parsed MimeType
+                    # OBJECT, rendered via its debug toString()
+                    self._err(errors, path, "contentMediaType",
+                              render_message("CONTENT_TYPE",
+                                             mime_type_str(media)))
                     return False
                 # JSON null parses to None and must still reach the
                 # subschema — gate on "a parser exists", not on the value
@@ -728,7 +774,8 @@ class _Compiler:
                 if not ok:
                     if errs and errors is not None:
                         errors.extend(errs)
-                    self._err(errors, path, "contentSchema", "decoded content invalid")
+                    self._err(errors, path, "contentSchema",
+                              render_message("CONTENT_SCHEMA"))
                     return False
             return True
 
@@ -738,18 +785,22 @@ class _Compiler:
 
     def _kw_required(self, names: list) -> Callable:
         req = tuple(dict.fromkeys(names))
+        req_iter = tuple(java_hashset_order(list(req)))
 
         def kv(inst, path, scope, ann, errors):
             if not isinstance(inst, dict):
                 return True
-            ok = True
-            for n in req:
-                if n not in inst:
-                    self._err(errors, path, "required", f"missing property {n!r}")
-                    ok = False
-                    if errors is None:
-                        return False
-            return ok
+            if errors is None:
+                return all(n in inst for n in req)
+            missing = [n for n in req_iter if n not in inst]
+            if not missing:
+                return True
+            # RequiredCompiler.java:40,52-54: ONE error joining every
+            # missing name — in the HashSet's iteration order
+            # (Collectors.toSet()), not declaration order
+            self._err(errors, path, "required",
+                      render_message("REQUIRED", ",".join(missing)))
+            return False
 
         return kv
 
@@ -761,11 +812,14 @@ class _Compiler:
             if not isinstance(inst, dict):
                 return True
             n = len(inst)
+            # Min/MaxPropertiesCompiler.java:41-43: args = (limit, size)
             if lo_i is not None and n < lo_i:
-                self._err(errors, path, "minProperties", f"{n} < {lo_i} properties")
+                self._err(errors, path, "minProperties",
+                          render_message("MIN_PROPERTIES", lo_i, n))
                 return False
             if hi_i is not None and n > hi_i:
-                self._err(errors, path, "maxProperties", f"{n} > {hi_i} properties")
+                self._err(errors, path, "maxProperties",
+                          render_message("MAX_PROPERTIES", hi_i, n))
                 return False
             return True
 
@@ -777,14 +831,23 @@ class _Compiler:
         def kv(inst, path, scope, ann, errors):
             if not isinstance(inst, dict):
                 return True
-            ok = True
-            for k, needs in deps.items():
-                if k in inst:
-                    for n in needs:
-                        if n not in inst:
-                            self._err(errors, path, kw, f"{k!r} requires {n!r}")
-                            ok = False
-            return ok
+            violated = [k for k, needs in deps.items()
+                        if k in inst and any(n not in inst for n in needs)]
+            if not violated:
+                return True
+            if kw == "dependentRequired":
+                # DependentRequiredCompiler.java:55-59: ONE error
+                # joining the TRIGGERING property of every violated
+                # rule (not the missing names)
+                self._err(errors, path, kw, render_message(
+                    "DEPENDENT_REQUIRED", ",".join(violated)))
+            else:
+                # draft-7 dual form (DependenciesCompiler.java:148-153):
+                # one error PER violated triggering property
+                for k in violated:
+                    self._err(errors, path, kw,
+                              render_message("DEPENDENCIES", k))
+            return False
 
         return kv
 
@@ -1057,10 +1120,13 @@ class _Compiler:
                 if ann is not None and matched and track_idx:
                     _ann_add_item_idx(ann, matched)
                 return True
+            # ContainsCompilerFactory.java:84-88: args = (bound, matched)
             if n < lo_eff:
-                self._err(errors, path, "contains", f"only {n} matching items, need >= {lo_eff}")
+                self._err(errors, path, "contains",
+                          render_message("CONTAINS_MIN", lo_eff, n))
             else:
-                self._err(errors, path, "maxContains", f"{n} matching items, need <= {hi}")
+                self._err(errors, path, "maxContains",
+                          render_message("CONTAINS_MAX", hi, n))
             return False
 
         return kv
@@ -1074,10 +1140,16 @@ class _Compiler:
                 return True
             n = len(inst)
             if lo_i is not None and n < lo_i:
-                self._err(errors, path, "minItems", f"{n} < {lo_i} items")
+                # MinItemsCompiler.java:39: args = (limit, size)
+                self._err(errors, path, "minItems",
+                          render_message("MIN_ITEMS", lo_i, n))
                 return False
             if hi_i is not None and n > hi_i:
-                self._err(errors, path, "maxItems", f"{n} > {hi_i} items")
+                # MaxItemsCompiler.java:35 passes the KEYWORD as {0}
+                # and the limit as {1} — the actual size arg has no
+                # placeholder. Faithfully odd.
+                self._err(errors, path, "maxItems",
+                          render_message("MAX_ITEMS", "maxItems", hi_i, n))
                 return False
             return True
 
@@ -1095,7 +1167,10 @@ class _Compiler:
                 # is UNIQUE here even though enum treats them equal
                 k = strict_key(v)
                 if k in seen:
-                    self._err(errors, path, "uniqueItems", f"duplicate item at index {i}")
+                    # UniqueItemsCompiler.java:46: arg = the duplicate
+                    # item's instance JsonPointer
+                    self._err(errors, path, "uniqueItems", render_message(
+                        "UNIQUE_ITEMS", _format_pointer(path + (i,))))
                     return False
                 seen.add(k)
             return True
@@ -1250,7 +1325,7 @@ class _Compiler:
             if not any_ok:
                 if errors is not None:
                     errors.extend(all_errs)
-                self._err(errors, path, "anyOf", "no branch matched")
+                self._err(errors, path, "anyOf", render_message("ANY_OF"))
             return any_ok
 
         return kv
@@ -1271,7 +1346,8 @@ class _Compiler:
             if n_ok == 1:
                 _ann_merge(ann, ok_ann)
                 return True
-            self._err(errors, path, "oneOf", f"{n_ok} branches matched, need exactly 1")
+            self._err(errors, path, "oneOf", render_message(
+                "ONE_OF_EMPTY" if n_ok == 0 else "ONE_OF_MORE_THAN_ONE"))
             return False
 
         return kv
@@ -1282,7 +1358,7 @@ class _Compiler:
         def kv(inst, path, scope, ann, errors):
             s_ok, _, _ = sub(inst, path, scope)
             if s_ok:
-                self._err(errors, path, "not", "instance matches 'not' schema")
+                self._err(errors, path, "not", render_message("NOT"))
                 return False
             return True
 

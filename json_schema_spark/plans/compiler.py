@@ -660,7 +660,28 @@ class VariantCompiler(_BaseCompiler):
         return F.try_variant_get(v, "$", "string")
 
     def v_as_number(self, v: Column) -> Column:
-        return F.try_variant_get(v, "$", DEC)
+        # Reference number model (Jackson, jsonvalue.double_canonical):
+        # FLOAT-SHAPED tokens (a '.' or exponent) parse to double and
+        # all arithmetic runs on BigDecimal.valueOf(double). A
+        # DECIMAL(p,s>0) variant keeps the RAW literal digits — e.g.
+        # "0.100000000000000001" would compare greater than a maximum
+        # of 0.1 even though the reference sees exactly 0.1 — so
+        # float-shaped tokens are bounced through the double first;
+        # Spark's double→decimal cast IS BigDecimal.valueOf on this
+        # JVM (probe-verified: 2^62 → ...7900, the Java-17 toString
+        # digits; caught by the fresh-seed expr sweep as a multipleOf 3
+        # flip over 4.611686018427388e18). Integer tokens (BIGINT /
+        # DECIMAL(p,0)) stay exact — Jackson keeps them as
+        # Int/Long/BigInteger. (A float token ≥1e16 normalizing to
+        # scale 0, e.g. "4611686018427387905.0", is indistinguishable
+        # from a big-int token by variant type and stays exact — a
+        # documented residual beyond double's 2^53 integer range.)
+        vt = self._vt(v)
+        dec = F.try_variant_get(v, "$", DEC)
+        canon = F.try_variant_get(v, "$", "double").try_cast(DEC)
+        float_tok = _nn((vt == "DOUBLE") | (vt == "FLOAT")
+                        | (vt.startswith("DECIMAL") & ~vt.endswith(",0)")))
+        return F.when(float_tok, canon).otherwise(dec)
 
     def v_as_number_dbl(self, v: Column) -> Column:
         return F.try_variant_get(v, "$", "double")
@@ -965,7 +986,10 @@ class TypedRowCompiler(_BaseCompiler):
         col, dt, fields = val
         # try_cast: a double column can hold magnitudes beyond
         # decimal(38,18); ANSI cast would throw, try_cast yields NULL
-        # and _num_check falls to the double branch
+        # and _num_check falls to the double branch. For double/float
+        # columns this cast is BigDecimal.valueOf(double) on the JVM —
+        # the same Jackson-double model the kernel twin applies via
+        # jsonvalue.double_canonical (Java-17 toString digits).
         return col.try_cast(DEC)
 
     def v_as_number_dbl(self, val) -> Column:

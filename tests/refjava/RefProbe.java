@@ -95,8 +95,20 @@ public class RefProbe {
                                 ptr = String.valueOf(r.getId().getInstanceRef());
                             } catch (Exception ignore) {
                             }
+                            // rendered getError() text for the message
+                            // differential (third @-field; parsers that
+                            // only want (kind, ptr) ignore it)
+                            String msg = "?";
+                            try {
+                                msg = ((io.github.georgeakulov.json_schema
+                                    .results.IValidationResult
+                                    .IValidationResultError) r).getError();
+                            } catch (Exception ignore) {
+                            }
                             kinds.add(kind + "@" + enc.encodeToString(
-                                ptr.getBytes(StandardCharsets.UTF_8)));
+                                ptr.getBytes(StandardCharsets.UTF_8))
+                                + "@" + enc.encodeToString(
+                                msg.getBytes(StandardCharsets.UTF_8)));
                         });
                     out.append("f:").append(String.join(",", kinds)).append('\n');
                 }

@@ -178,9 +178,25 @@ def _ref_pairs(got: str) -> set[tuple[str, str]]:
         return set()
     pairs = set()
     for tok in got[2:].split(","):
-        kind, _, b64 = tok.partition("@")
+        kind, _, rest = tok.partition("@")
+        b64 = rest.split("@", 1)[0]
         pairs.add((kind, base64.b64decode(b64).decode("utf-8")))
     return pairs
+
+
+def _ref_triples(got: str) -> set[tuple[str, str, str]]:
+    """Parse a kinds=True 'f:KIND@b64ptr@b64msg,...' verdict into
+    (EErrorType name, instance pointer, rendered getError() text)."""
+    if len(got) <= 2:
+        return set()
+    triples = set()
+    for tok in got[2:].split(","):
+        kind, _, rest = tok.partition("@")
+        b64_ptr, _, b64_msg = rest.partition("@")
+        triples.add((kind,
+                     base64.b64decode(b64_ptr).decode("utf-8"),
+                     base64.b64decode(b64_msg).decode("utf-8")))
+    return triples
 
 
 # kept for importers that want the builder directly; the shared fixture
