@@ -212,6 +212,19 @@ def _q_violation_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vdf.groupBy("error_kind").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def _q_violation_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-identical violation MESSAGE text, gated byte-for-byte:
+    the expression path renders each keyword's MessageFormat template
+    (results/EErrorType.java:5-34, ValidationError.java:27-33) with the
+    instance value JVM-side (core/messages.py twins; round-4), and the
+    DuckDB oracle re-renders the same strings in SQL."""
+    df = _tp(spark, sf_dir, "documents")
+    v = SparkValidator(DOCS_SCHEMA, dialect="draft7")
+    out = v.apply_table(df, columns=DOCS_COLS)
+    return (SparkValidator.violations_df(out, ["doc_id"])
+            .select("doc_id", "json_path", "keyword", "message"))
+
+
 def _q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.column_stats(_t(spark, sf_dir, "lineitem"), exact_distinct=True)
 
@@ -845,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events_json": _q_validate_events_json,
         "validate_events_conditional": _q_validate_events_conditional,
         "violation_kinds_documents": _q_violation_kinds,
+        "violation_messages_documents": _q_violation_messages,
         "column_stats_lineitem": _q_column_stats,
         "length_histogram_documents": _q_length_histogram,
         "duplicate_keys_events": _q_duplicate_keys,
@@ -1532,6 +1546,50 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'MINIMUM', count(*)::bigint FROM documents
                 WHERE doc_id IS NOT NULL AND doc_id < 0
             ) WHERE cnt > 0
+        """,
+        # reference-identical message strings re-rendered in SQL
+        # (results/EErrorType.java templates; MIN_LENGTH keeps the
+        # reference's double space and dangling {2}; required joins
+        # missing names in Java HashSet iteration order)
+        "violation_messages_documents": r"""
+            WITH base AS (SELECT * FROM documents)
+            SELECT doc_id, '' AS json_path, 'required' AS keyword,
+                   'Some required properties ' || concat_ws(',',
+                     CASE WHEN n_chars IS NULL THEN 'n_chars' END,
+                     CASE WHEN text IS NULL THEN 'text' END,
+                     CASE WHEN source IS NULL THEN 'source' END,
+                     CASE WHEN lang IS NULL THEN 'lang' END,
+                     CASE WHEN doc_id IS NULL THEN 'doc_id' END)
+                   || ' are missing' AS message
+              FROM base
+             WHERE doc_id IS NULL OR text IS NULL OR lang IS NULL
+                OR source IS NULL OR n_chars IS NULL
+            UNION ALL
+            SELECT doc_id, '/doc_id', 'minimum',
+                   'Value ' || doc_id || ' less than 0'
+              FROM base WHERE doc_id < 0
+            UNION ALL
+            SELECT doc_id, '/text', 'minLength',
+                   'The length of 60 must be greater or equal than  '
+                   || length(text) || '. Actual: {2}'
+              FROM base WHERE text IS NOT NULL AND length(text) < 60
+            UNION ALL
+            SELECT doc_id, '/lang', 'enum',
+                   'The value "' || replace(replace(lang, '\', '\\'), '"', '\"')
+                   || '" not declared in enum ["en","de","es","fr"]'
+              FROM base
+             WHERE lang IS NOT NULL AND lang NOT IN ('en','de','es','fr')
+            UNION ALL
+            SELECT doc_id, '/source', 'pattern',
+                   'The value ' || source
+                   || ' not conform to pattern: ^src1?[0-9]$'
+              FROM base
+             WHERE source IS NOT NULL
+               AND NOT regexp_matches(source, '^src1?[0-9]$')
+            UNION ALL
+            SELECT doc_id, '/n_chars', 'maximum',
+                   'Value ' || n_chars || ' greater than 400'
+              FROM base WHERE n_chars IS NOT NULL AND n_chars > 400
         """,
         "column_stats_lineitem": stats_parts,
         "length_histogram_documents": """

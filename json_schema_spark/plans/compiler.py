@@ -36,6 +36,8 @@ from pyspark.sql import Column, functions as F
 from pyspark.sql import types as T
 
 from ..core.jsonvalue import to_decimal
+from ..core.messages import (MESSAGE_TEMPLATES, jackson_to_string, java_int,
+                             java_hashset_order, render_message)
 from ..core.registry import SchemaCompileError, SchemaRegistry
 from ..functions.formats import (FORMAT_REGEXES, JavaOnlyRegex,
                                  JavaRegexError, compile_java_pattern)
@@ -68,7 +70,10 @@ class Check:
     fail: Column  # TRUE ⇔ violation (never NULL)
     path: str  # JSON pointer of the instance location
     keyword: str
-    message: str
+    # reference-identical error text (core.messages templates). A str is
+    # a compile-time constant; a Column carries instance values (e.g.
+    # "Value 7 greater than 5") rendered JVM-side — still zero Python.
+    message: "str | Column"
 
 
 def _nn(cond: Column) -> Column:
@@ -92,12 +97,58 @@ def violations_array(checks: list[Check]) -> Column:
             F.struct(
                 F.lit(c.path).alias("path"),
                 F.lit(c.keyword).alias("keyword"),
-                F.lit(c.message).alias("message"),
+                (F.lit(c.message) if isinstance(c.message, str)
+                 else c.message).alias("message"),
             ),
         )
         for c in checks
     ]
     return F.filter(F.array(*entries), lambda x: x.isNotNull())
+
+
+_PLACEHOLDER = re.compile(r"\{(\d+)\}")
+
+
+def _jint(c: Column) -> Column:
+    """Integer arg through MessageFormat's NumberFormat: en-US grouping
+    separators (``java_int`` as a Column — format_number matches)."""
+    return F.format_number(c.cast("bigint"), 0)
+
+
+def msg_col(kind: str, *args) -> "str | Column":
+    """The reference's per-kind MessageFormat template with args
+    substituted (``results/ValidationError.java:27-33`` — the Column
+    twin of :func:`core.messages.render_message`). Args: ``str`` =
+    pre-rendered literal, ``int`` = NumberFormat grouping, ``Column`` =
+    a pre-rendered string column (wrap integer columns in ``_jint``).
+    A placeholder with no matching arg stays literal (the MAX_LENGTH
+    ``{2}`` quirk). All-literal args collapse to a plain str so static
+    messages stay codegen-constant."""
+    if not any(isinstance(a, Column) for a in args):
+        return render_message(kind, *args)
+    tmpl = MESSAGE_TEMPLATES[kind]
+    parts: list[Column] = []
+    last = 0
+    for m in _PLACEHOLDER.finditer(tmpl):
+        if m.start() > last:
+            parts.append(F.lit(tmpl[last:m.start()]))
+        i = int(m.group(1))
+        if i >= len(args):
+            parts.append(F.lit(m.group(0)))
+        else:
+            a = args[i]
+            if isinstance(a, Column):
+                parts.append(a)
+            elif isinstance(a, bool):
+                parts.append(F.lit(str(a)))
+            elif isinstance(a, int):
+                parts.append(F.lit(java_int(a)))
+            else:
+                parts.append(F.lit(str(a)))
+        last = m.end()
+    if last < len(tmpl):
+        parts.append(F.lit(tmpl[last:]))
+    return F.concat(*parts)
 
 
 _SCALAR = ("string", "number", "integer", "boolean", "null")
@@ -135,9 +186,11 @@ class _BaseCompiler:
     # -- helpers -----------------------------------------------------
 
     def _ptr(self, path: tuple) -> str:
+        # RFC 6901 escaping, matching the kernel's _format_pointer
         if not path:
             return ""
-        return "/" + "/".join(str(p) for p in path)
+        return "/" + "/".join(
+            str(p).replace("~", "~0").replace("/", "~1") for p in path)
 
     def _num_check(self, val, build: Callable[[Column], Column]) -> Column:
         """Numeric predicate with exact-decimal semantics and a double
@@ -226,7 +279,8 @@ class _BaseCompiler:
         if node is True or node == {}:
             return []
         if node is False:
-            return [Check(self.v_present(val), self._ptr(path), "false", "schema is false")]
+            return [Check(self.v_present(val), self._ptr(path), "false",
+                          render_message("FALSE_SCHEMA"))]
         if not isinstance(node, dict):
             raise ExprUnsupported(f"schema must be object/bool, got {type(node).__name__}")
 
@@ -297,12 +351,18 @@ class _BaseCompiler:
         if "type" in node:
             types = [node["type"]] if isinstance(node["type"], str) else list(node["type"])
             m = reduce(lambda a, b: a | b, [self.v_type_is(val, t) for t in types])
+            # TypeCompiler.java:61-66: args = (instance.asText(), the
+            # raw type keyword node)
             checks.append(Check(_nn(self.v_present(val) & ~m), p, "type",
-                                f"expected {'/'.join(types)}"))
+                                msg_col("TYPE", self.v_astext(val),
+                                        jackson_to_string(node["type"]))))
         if "enum" in node:
             checks.append(self._c_enum(node["enum"], val, p, "enum"))
         if "const" in node:
             checks.append(self._c_enum([node["const"]], val, p, "const"))
+        _BOUND_KIND = {"minimum": "MINIMUM", "maximum": "MAXIMUM",
+                       "exclusiveMinimum": "EXCLUSIVE_MINIMUM",
+                       "exclusiveMaximum": "EXCLUSIVE_MAXIMUM"}
         for kw, op in (("minimum", ">="), ("maximum", "<="),
                        ("exclusiveMinimum", ">"), ("exclusiveMaximum", "<")):
             if kw in node:
@@ -314,31 +374,45 @@ class _BaseCompiler:
                     lambda num, _op=op, _b=bound: {"<": num < _b, "<=": num <= _b,
                                                    ">": num > _b, ">=": num >= _b}[_op],
                 )
+                # MaximumCompiler.java:33 etc: args = (node, schemaNode)
                 checks.append(Check(_nn(self.v_is_number(val) & ~_nn(cmpc)), p, kw,
-                                    f"violates {kw} {node[kw]}"))
+                                    msg_col(_BOUND_KIND[kw], self.v_render(val),
+                                            jackson_to_string(node[kw]))))
         if "multipleOf" in node:
             m = self._dec_lit(node["multipleOf"], "multipleOf")
             ok = self._num_check(val, lambda num: num % m == 0)
             checks.append(Check(_nn(self.v_is_number(val) & ~_nn(ok)), p, "multipleOf",
-                                f"not a multiple of {node['multipleOf']}"))
+                                msg_col("MULTIPLE_OF", self.v_render(val),
+                                        jackson_to_string(node["multipleOf"]))))
         if "pattern" in node:
             rx = self._regex(node["pattern"])
             s = self.v_as_string(val)
+            # PatternCompiler.java:44: args = (node.asText(), pattern) —
+            # both raw strings, no JSON quoting
             checks.append(Check(_nn(self.v_is_string(val) & ~_nn(s.rlike(self._jrx(rx)))), p,
-                                "pattern", f"does not match /{rx}/"))
+                                "pattern", msg_col("PATTERN", s, node["pattern"])))
         if "minLength" in node:
             s = self.v_as_string(val)
+            # BaseLengthCompiler.java:49: args = (limit, actual); the
+            # template's {2} has no arg and stays literal
             checks.append(Check(_nn(self.v_is_string(val) & (F.length(s) < int(node["minLength"]))),
-                                p, "minLength", f"shorter than {node['minLength']}"))
+                                p, "minLength",
+                                msg_col("MIN_LENGTH", int(node["minLength"]),
+                                        _jint(F.length(s)))))
         if "maxLength" in node:
             s = self.v_as_string(val)
             checks.append(Check(_nn(self.v_is_string(val) & (F.length(s) > int(node["maxLength"]))),
-                                p, "maxLength", f"longer than {node['maxLength']}"))
+                                p, "maxLength",
+                                msg_col("MAX_LENGTH", int(node["maxLength"]),
+                                        _jint(F.length(s)))))
         if "format" in node and self.format_assertions:
             rx = FORMAT_REGEXES[node["format"]]
             s = self.v_as_string(val)
+            # FormatCompiler.java:109: args = (instance NODE, format) —
+            # the node renders with its JSON quotes
             checks.append(Check(_nn(self.v_is_string(val) & ~_nn(s.rlike("(?U)" + rx))), p,
-                                "format", f"not a valid {node['format']}"))
+                                "format", msg_col("FORMAT", self.v_render(val),
+                                                  node["format"])))
 
         checks.extend(self._object_keywords(node, val, path))
         checks.extend(self._array_keywords(node, val, path))
@@ -349,30 +423,51 @@ class _BaseCompiler:
             checks.extend(self._gate_checks(
                 [c for cs in subs for c in cs], ugate))
         if "anyOf" in node:
-            oks = [ok_of(self.compile(s, val, path)) for s in node["anyOf"]]
-            checks.append(Check(_nn(self.v_present(val) & ~reduce(lambda a, b: a | b, oks)),
-                                p, "anyOf", "no branch matched"))
+            branches = [self.compile(s, val, path) for s in node["anyOf"]]
+            oks = [ok_of(cs) for cs in branches]
+            fail_all = _nn(self.v_present(val) & ~reduce(lambda a, b: a | b, oks))
+            # kernel/reference: when every branch fails, each failing
+            # branch's OWN errors surface, then the ANY_OF error
+            # (AnyOfCompiler — all_errs extended before the summary)
+            for cs in branches:
+                checks.extend(Check(_nn(fail_all & c.fail), c.path, c.keyword,
+                                    c.message) for c in cs)
+            checks.append(Check(fail_all, p, "anyOf", render_message("ANY_OF")))
         if "oneOf" in node:
             oks = [ok_of(self.compile(s, val, path)) for s in node["oneOf"]]
             n_ok = reduce(lambda a, b: a + b, [o.cast("int") for o in oks])
             # two checks so the error KIND can distinguish the
-            # reference's ONE_OF_EMPTY vs ONE_OF_MORE_THAN_ONE
+            # reference's ONE_OF_EMPTY vs ONE_OF_MORE_THAN_ONE; branch
+            # errors are DISCARDED (OneOfCompiler — results dropped)
             checks.append(Check(_nn(self.v_present(val) & (n_ok == 0)), p, "oneOf",
-                                "0 branches matched, need exactly 1"))
+                                render_message("ONE_OF_EMPTY")))
             checks.append(Check(_nn(self.v_present(val) & (n_ok > 1)), p, "oneOf",
-                                "more than one branch matched, need exactly 1"))
+                                render_message("ONE_OF_MORE_THAN_ONE")))
         if "not" in node:
             sub_ok = ok_of(self.compile(node["not"], val, path))
             checks.extend(self._gate_checks(
                 [Check(_nn(self.v_present(val) & sub_ok), p, "not",
-                       "instance matches 'not' schema")], ugate))
+                       render_message("NOT"))], ugate))
         if "if" in node:
             cond = ok_of(self.compile(node["if"], val, path))
-            then_ok = ok_of(self.compile(node["then"], val, path)) if "then" in node else F.lit(True)
-            else_ok = ok_of(self.compile(node["else"], val, path)) if "else" in node else F.lit(True)
-            fused = F.when(cond, then_ok).otherwise(else_ok)
-            checks.append(Check(_nn(self.v_present(val) & ~fused), p, "if",
-                                "conditional schema failed"))
+            then_checks = self.compile(node["then"], val, path) if "then" in node else []
+            else_checks = self.compile(node["else"], val, path) if "else" in node else []
+            then_ok = ok_of(then_checks) if "then" in node else F.lit(True)
+            else_ok = ok_of(else_checks) if "else" in node else F.lit(True)
+            pres = self.v_present(val)
+            # kernel parity (_kw_if_then_else): the taken arm's own
+            # errors surface, then a synthetic then/else marker; the
+            # 'if' subschema's errors are always discarded
+            for c in then_checks:
+                checks.append(Check(_nn(pres & cond & c.fail), c.path,
+                                    c.keyword, c.message))
+            checks.append(Check(_nn(pres & cond & ~then_ok), p, "then",
+                                "'then' schema failed"))
+            for c in else_checks:
+                checks.append(Check(_nn(pres & ~cond & c.fail), c.path,
+                                    c.keyword, c.message))
+            checks.append(Check(_nn(pres & ~cond & ~else_ok), p, "else",
+                                "'else' schema failed"))
         # dependentRequired/dependentSchemas/unevaluated* are unknown
         # keywords in draft7 (ignored); dual-form "dependencies" is
         # active in every draft (reference-probe verified)
@@ -384,25 +479,49 @@ class _BaseCompiler:
         if "dependencies" in node:
             deps.update({k: (v, "dependencies")
                          for k, v in node["dependencies"].items()})
+        # list-form rules: the violation keyword is the SOURCE keyword —
+        # draft-7's dual-form "dependencies" maps to the reference's
+        # DEPENDENCIES kind and emits one error PER violated trigger,
+        # while dependentRequired joins every violated TRIGGERING
+        # property into ONE error (DependentRequiredCompiler.java:55-59
+        # vs DependenciesCompiler.java:148-153 — kernel parity)
+        dreq_viol: list[tuple[str, Column]] = []
         for k, (d, src_kw) in deps.items():
-            # the violation keyword is the SOURCE keyword: draft-7's
-            # dual-form "dependencies" maps to the reference's
-            # DEPENDENCIES error kind, not DEPENDENT_REQUIRED
             trigger = self.v_has_prop(val, k)
             if isinstance(d, list):
                 need = [self.v_has_prop(val, n) for n in d]
                 ok = reduce(lambda a, b: a & b, need) if need else F.lit(True)
-                checks.append(Check(_nn(trigger & ~ok), p, src_kw,
-                                    f"{k!r} requires {d}"))
+                violated = _nn(trigger & ~ok)
+                if src_kw == "dependentRequired":
+                    dreq_viol.append((k, violated))
+                else:
+                    checks.append(Check(violated, p, src_kw,
+                                        render_message("DEPENDENCIES", k)))
             else:
-                sub_ok = ok_of(self.compile(d, val, path))
+                # schema form: the subschema's own errors surface (gated
+                # on the trigger), then the wrapper error — kernel
+                # _kw_dependent_schemas parity
                 kw = "dependentSchemas" if src_kw == "dependentRequired" else src_kw
+                sub_checks = self.compile(d, val, path)
+                sub_ok = ok_of(sub_checks)
+                checks.extend(Check(_nn(trigger & c.fail), c.path, c.keyword,
+                                    c.message) for c in sub_checks)
                 checks.append(Check(_nn(trigger & ~sub_ok), p, kw,
                                     f"schema dependency on {k!r} failed"))
+        if dreq_viol:
+            any_viol = reduce(lambda a, b: a | b, [v for _, v in dreq_viol])
+            joined = F.array_join(F.filter(F.array(
+                *[F.when(v, F.lit(k)) for k, v in dreq_viol]),
+                lambda x: x.isNotNull()), ",")
+            checks.append(Check(any_viol, p, "dependentRequired",
+                                msg_col("DEPENDENT_REQUIRED", joined)))
         if "dependentSchemas" in node and post7:
             for k, d in node["dependentSchemas"].items():
                 trigger = self.v_has_prop(val, k)
-                sub_ok = ok_of(self.compile(d, val, path))
+                sub_checks = self.compile(d, val, path)
+                sub_ok = ok_of(sub_checks)
+                checks.extend(Check(_nn(trigger & c.fail), c.path, c.keyword,
+                                    c.message) for c in sub_checks)
                 checks.append(Check(_nn(trigger & ~sub_ok), p, "dependentSchemas",
                                     f"schema dependency on {k!r} failed"))
 
@@ -594,7 +713,15 @@ class _BaseCompiler:
             else:
                 raise ExprUnsupported(f"{kw} with composite member needs the UDF kernel")
         any_ok = reduce(lambda a, b: a | b, [_nn(c) for c in conds])
-        return Check(_nn(self.v_present(val) & ~any_ok), p, kw, f"value not in {kw}")
+        # EnumCompiler.java:57 / ConstCompiler.java:37: args = (instance
+        # node, the enum array node / const schema node)
+        if kw == "const":
+            msg = msg_col("CONST", self.v_render(val),
+                          jackson_to_string(members[0]))
+        else:
+            msg = msg_col("ENUM", self.v_render(val),
+                          jackson_to_string(members))
+        return Check(_nn(self.v_present(val) & ~any_ok), p, kw, msg)
 
     # -- abstract value ops (overridden per encoding) ------------------
 
@@ -607,6 +734,8 @@ class _BaseCompiler:
     def v_as_string(self, val) -> Column: ...
     def v_as_number(self, val) -> Column: ...
     def v_as_bool(self, val) -> Column: ...
+    def v_render(self, val) -> Column: ...   # Jackson JsonNode.toString()
+    def v_astext(self, val) -> Column: ...   # Jackson JsonNode.asText()
     def v_has_prop(self, val, name: str) -> Column: ...
     def _object_keywords(self, node, val, path) -> list[Check]: ...
     def _array_keywords(self, node, val, path) -> list[Check]: ...
@@ -686,6 +815,45 @@ class VariantCompiler(_BaseCompiler):
     def v_as_number_dbl(self, v: Column) -> Column:
         return F.try_variant_get(v, "$", "double")
 
+    def _num_render(self, v: Column) -> Column:
+        """Jackson toString of a NUMBER variant. Int-family lexemes
+        (BIGINT, or DECIMAL(p,0) beyond long range = a big-integer
+        lexeme) print raw digits; float-family lexemes print
+        Double.toString — Spark's double→string cast IS Java 17
+        Double.toString on this JVM (probe-verified, see v_as_number).
+        A DECIMAL(p,0) that FITS a long can only be a decimal lexeme
+        ("1.0" — an integer lexeme that size parses straight to
+        BIGINT), so it is float-family, same split as uniqueItems."""
+        vt = self._vt(v)
+        big = F.try_variant_get(v, "$", "bigint")
+        int_fam = (vt == "BIGINT") | (
+            vt.rlike(r"^DECIMAL\(\d+,0\)$") & big.isNull())
+        return F.when(
+            _nn(int_fam),
+            F.try_variant_get(v, "$", "decimal(38,0)").cast("string"),
+        ).otherwise(F.try_variant_get(v, "$", "double").cast("string"))
+
+    def v_render(self, v: Column) -> Column:
+        """Jackson ``JsonNode.toString()`` — exact for every scalar.
+        Containers go through ``to_json(variant)``, which canonicalizes
+        (sorted object keys, normalized nested number lexemes) — a
+        documented divergence from Jackson's insertion-order rendering,
+        reachable only in enum/const messages over container
+        instances."""
+        return F.when(self.v_is_number(v), self._num_render(v)) \
+                .otherwise(F.to_json(v))
+
+    def v_astext(self, v: Column) -> Column:
+        """Jackson ``JsonNode.asText()``: raw text for scalars, empty
+        string for containers (ContainerNode.asText() == "")."""
+        vt = self._vt(v)
+        return (
+            F.when(vt == "STRING", F.try_variant_get(v, "$", "string"))
+            .when(vt.startswith("OBJECT") | vt.startswith("ARRAY"), F.lit(""))
+            .when(self.v_is_number(v), self._num_render(v))
+            .otherwise(F.to_json(v))  # BOOLEAN → true/false, VOID → null
+        )
+
     def v_as_bool(self, v: Column) -> Column:
         return F.try_variant_get(v, "$", "boolean")
 
@@ -711,17 +879,37 @@ class VariantCompiler(_BaseCompiler):
             for name in node["required"]:
                 if not _SAFE_KEY.match(name):
                     raise ExprUnsupported(f"required name {name!r} not JSONPath-safe")
-                checks.append(Check(_nn(is_obj & self._child(v, name).isNull()),
-                                    p, "required", f"missing property {name!r}"))
+            # RequiredCompiler.java:40,52-54: ONE error joining every
+            # missing name — in the HashSet's iteration order
+            # (Collectors.toSet()), not declaration order
+            req = list(node["required"])
+            ordered = java_hashset_order(req)
+            absent = {name: _nn(is_obj & self._child(v, name).isNull())
+                      for name in req}
+            any_missing = reduce(lambda a, b: a | b, absent.values()) \
+                if req else F.lit(False)
+            if req:
+                joined = F.array_join(F.filter(F.array(
+                    *[F.when(absent[n], F.lit(n)) for n in ordered]),
+                    lambda x: x.isNotNull()), ",")
+                checks.append(Check(any_missing, p, "required",
+                                    msg_col("REQUIRED", joined)))
         if "properties" in node:
             for name, sub in node["properties"].items():
                 checks.extend(self.compile(sub, self._child(v, name), path + (name,)))
         if "minProperties" in node:
-            checks.append(Check(_nn(is_obj & (F.size(F.map_keys(self._as_map(v))) < int(node["minProperties"]))),
-                                p, "minProperties", f"fewer than {node['minProperties']} properties"))
+            cnt = F.size(F.map_keys(self._as_map(v)))
+            # Min/MaxPropertiesCompiler.java:41-43: args = (limit, size)
+            checks.append(Check(_nn(is_obj & (cnt < int(node["minProperties"]))),
+                                p, "minProperties",
+                                msg_col("MIN_PROPERTIES",
+                                        int(node["minProperties"]), _jint(cnt))))
         if "maxProperties" in node:
-            checks.append(Check(_nn(is_obj & (F.size(F.map_keys(self._as_map(v))) > int(node["maxProperties"]))),
-                                p, "maxProperties", f"more than {node['maxProperties']} properties"))
+            cnt = F.size(F.map_keys(self._as_map(v)))
+            checks.append(Check(_nn(is_obj & (cnt > int(node["maxProperties"]))),
+                                p, "maxProperties",
+                                msg_col("MAX_PROPERTIES",
+                                        int(node["maxProperties"]), _jint(cnt))))
         if "propertyNames" in node:
             ok_fn = self._string_pred(node["propertyNames"])
             keys = F.map_keys(self._as_map(v))
@@ -775,12 +963,14 @@ class VariantCompiler(_BaseCompiler):
             else:
                 tail_schema = items
         for i, sub in enumerate(prefix):
+            # kernel parity (_kw_items*): per-index subschema errors
+            # surface at path/i with their OWN keywords — no synthetic
+            # per-item wrapper
             el = F.try_element_at(arr, F.lit(i + 1))
-            sub_ok = self._value_pred(sub, path + (i,))(el)
-            has = F.size(arr) > i
-            checks.append(Check(_nn(is_arr & has & ~_nn(sub_ok)), self._ptr(path + (i,)),
-                                "prefixItems" if self.dialect == "2020-12" else "items",
-                                f"item {i} invalid"))
+            has = _nn(is_arr & (F.size(arr) > i))
+            for c in self.compile(sub, el, path + (i,)):
+                checks.append(Check(_nn(has & c.fail), c.path, c.keyword,
+                                    c.message))
         if tail_schema is not None:
             start = len(prefix)
             kwname = "items" if not (prefix and self.dialect != "2020-12") else "additionalItems"
@@ -802,17 +992,25 @@ class VariantCompiler(_BaseCompiler):
             if self.dialect != "draft7":
                 lo = int(node.get("minContains", 1))
                 hi = int(node["maxContains"]) if "maxContains" in node else None
-            cond_ok = n >= lo
+            # ContainsCompiler: args = (limit, actual matching count);
+            # two checks so each side carries its own reference message
+            checks.append(Check(_nn(is_arr & (n < lo)), p, "contains",
+                                msg_col("CONTAINS_MIN", lo, _jint(n))))
             if hi is not None:
-                cond_ok = cond_ok & (n <= hi)
-            checks.append(Check(_nn(is_arr & ~_nn(cond_ok)), p, "contains",
-                                f"matching-item count outside [{lo}, {hi if hi is not None else '∞'}]"))
+                checks.append(Check(_nn(is_arr & (n >= lo) & (n > hi)), p, "maxContains",
+                                    msg_col("CONTAINS_MAX", hi, _jint(n))))
         if "minItems" in node:
             checks.append(Check(_nn(is_arr & (F.size(arr) < int(node["minItems"]))), p,
-                                "minItems", f"fewer than {node['minItems']} items"))
+                                "minItems",
+                                msg_col("MIN_ITEMS", int(node["minItems"]),
+                                        _jint(F.size(arr)))))
         if "maxItems" in node:
+            # MaxItemsCompiler.java:35 quirk: args = (the KEYWORD STRING,
+            # limit) — "Actual size" renders the LIMIT, fully static
             checks.append(Check(_nn(is_arr & (F.size(arr) > int(node["maxItems"]))), p,
-                                "maxItems", f"more than {node['maxItems']} items"))
+                                "maxItems",
+                                render_message("MAX_ITEMS", "maxItems",
+                                               int(node["maxItems"]))))
         if node.get("uniqueItems") is True:
             # reference semantics: HashSet<JsonNode> — STRICT Jackson
             # equality where a number's FAMILY is part of its identity
@@ -850,8 +1048,23 @@ class VariantCompiler(_BaseCompiler):
                     F.concat(vt, F.lit("|"), F.to_json(x)))
 
             canon = F.transform(arr, _canon_el)
+            # UniqueItemsCompiler.java:46: arg = the FIRST duplicate
+            # item's instance JsonPointer (kernel: path + (i,))
+            first_dup = F.array_min(F.filter(
+                F.transform(
+                    # greatest(...,2) keeps the sequence ascending (and
+                    # try_element_at in range) for 0/1-element arrays —
+                    # the message is only consumed when the check fires
+                    F.sequence(F.lit(2), F.greatest(F.size(canon), F.lit(2))),
+                    lambda i: F.when(
+                        F.array_position(
+                            F.slice(canon, 1, i - 1),
+                            F.try_element_at(canon, i)) > 0, i)),
+                lambda x: x.isNotNull()))
+            dup_ptr = F.concat(F.lit(p + "/"), (first_dup - 1).cast("string"))
             checks.append(Check(_nn(is_arr & (F.size(F.array_distinct(canon)) != F.size(arr))),
-                                p, "uniqueItems", "duplicate items"))
+                                p, "uniqueItems",
+                                msg_col("UNIQUE_ITEMS", dup_ptr)))
         return checks
 
     def _c_unevaluated_props(self, sub, names: set, pats: list, v, path) -> list[Check]:
@@ -1000,6 +1213,64 @@ class TypedRowCompiler(_BaseCompiler):
         col, dt, fields = val
         return col
 
+    def _quoted_json(self, col: Column) -> Column:
+        """A string-ish column as its JSON lexeme (quotes + Jackson
+        escaping): serialize through to_json and strip the array
+        brackets — byte-identical to the doc serialization the kernel
+        twin parses (apply_table's to_json(struct(...)))."""
+        j = F.to_json(F.array(col))
+        return F.substring(j, 2, F.length(j) - 2)
+
+    def v_render(self, val) -> Column:
+        """Jackson ``JsonNode.toString()`` of this value as the kernel
+        twin sees it (the row serialized via to_json): typed columns
+        make every scalar exact; containers render via to_json(col) —
+        identical to the parsed doc (struct field order, nulls dropped).
+        Residual: a DecimalType nested INSIDE a container keeps its raw
+        scale ("1.50") where Jackson's double canonicalizes ("1.5") —
+        scalar decimal columns take the double-canonical path."""
+        col, dt, fields = val
+        if fields is not None:  # root object
+            return F.to_json(F.struct(
+                *[c.alias(n) for n, (c, _t) in fields.items()]))
+        if isinstance(dt, T.StringType):
+            return self._quoted_json(col)
+        if isinstance(dt, (T.DateType, T.TimestampType)):
+            return self._quoted_json(col)
+        if isinstance(dt, T.BooleanType):
+            return col.cast("string")
+        if isinstance(dt, _INTEGRAL):
+            return col.cast("string")
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            # Spark double→string cast IS Java 17 Double.toString
+            return col.cast("double").cast("string")
+        if isinstance(dt, T.DecimalType):
+            # serialized by to_json with raw scale → float-shaped token
+            # → the kernel's Jackson-double canonical form
+            return col.cast("double").cast("string")
+        if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
+            return F.to_json(col)
+        if isinstance(dt, T.NullType):
+            return F.lit(None).cast("string")
+        return col.cast("string")
+
+    def v_astext(self, val) -> Column:
+        """Jackson ``JsonNode.asText()``: raw scalar text, "" for
+        containers."""
+        col, dt, fields = val
+        if fields is not None:
+            return F.lit("")
+        if isinstance(dt, T.StringType):
+            return col
+        if isinstance(dt, (T.DateType, T.TimestampType)):
+            # the parsed JSON lexeme without quotes (ISO form) — safe to
+            # strip because ISO date/ts strings never need escaping
+            q = self._quoted_json(col)
+            return F.substring(q, 2, F.length(q) - 2)
+        if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
+            return F.lit("")
+        return self.v_render(val)
+
     def _field(self, val, name: str):
         col, dt, fields = val
         if fields is not None:
@@ -1051,11 +1322,19 @@ class TypedRowCompiler(_BaseCompiler):
         checks: list[Check] = []
         p = self._ptr(path)
         col, dt, fields = val
-        if "required" in node:
-            for name in node["required"]:
-                child = self._field(val, name)
-                checks.append(Check(_nn(self.v_present(val) & ~self.v_present(child)),
-                                    p, "required", f"missing property {name!r}"))
+        if "required" in node and node["required"]:
+            # ONE error joining every missing name in HashSet iteration
+            # order (RequiredCompiler.java:40,52-54 — kernel parity)
+            req = list(node["required"])
+            absent = {name: _nn(self.v_present(val)
+                                & ~self.v_present(self._field(val, name)))
+                      for name in req}
+            any_missing = reduce(lambda a, b: a | b, absent.values())
+            joined = F.array_join(F.filter(F.array(
+                *[F.when(absent[n], F.lit(n)) for n in java_hashset_order(req)]),
+                lambda x: x.isNotNull()), ",")
+            checks.append(Check(any_missing, p, "required",
+                                msg_col("REQUIRED", joined)))
         if "properties" in node:
             for name, sub in node["properties"].items():
                 checks.extend(self.compile(sub, self._field(val, name), path + (name,)))
@@ -1098,11 +1377,15 @@ class TypedRowCompiler(_BaseCompiler):
             if "minProperties" in node:
                 checks.append(Check(
                     _nn(is_obj & (cnt < int(node["minProperties"]))), p,
-                    "minProperties", f"fewer than {node['minProperties']} properties"))
+                    "minProperties", msg_col("MIN_PROPERTIES",
+                                             int(node["minProperties"]),
+                                             _jint(cnt))))
             if "maxProperties" in node:
                 checks.append(Check(
                     _nn(is_obj & (cnt > int(node["maxProperties"]))), p,
-                    "maxProperties", f"more than {node['maxProperties']} properties"))
+                    "maxProperties", msg_col("MAX_PROPERTIES",
+                                             int(node["maxProperties"]),
+                                             _jint(cnt))))
 
         pats = node.get("patternProperties") or {}
         if pats:
@@ -1116,8 +1399,10 @@ class TypedRowCompiler(_BaseCompiler):
             sub = node["propertyNames"]
             for n in field_names:
                 if not self._name_ok(sub, n):
+                    # kernel parity: error at path/<name>
                     checks.append(Check(
-                        _nn(is_obj & self.v_present(self._field(val, n))), p,
+                        _nn(is_obj & self.v_present(self._field(val, n))),
+                        self._ptr(path + (n,)),
                         "propertyNames", f"invalid property name {n!r}"))
 
         if "additionalProperties" in node:
@@ -1128,12 +1413,24 @@ class TypedRowCompiler(_BaseCompiler):
             sub = node["additionalProperties"]
             for n in extra:
                 child = self._field(val, n)
+                cp = self._ptr(path + (n,))
                 if sub is False:
+                    # kernel parity: the compiled-False subschema error
+                    # at path/<name>, then the wrapper error
                     checks.append(Check(
-                        _nn(is_obj & self.v_present(child)), p,
-                        "additionalProperties", f"additional property {n!r} present"))
+                        _nn(is_obj & self.v_present(child)), cp,
+                        "false", render_message("FALSE_SCHEMA")))
+                    checks.append(Check(
+                        _nn(is_obj & self.v_present(child)), cp,
+                        "additionalProperties",
+                        f"additional property {n!r} invalid"))
                 elif sub is not True and sub != {}:
-                    checks.extend(self.compile(sub, child, path + (n,)))
+                    sub_checks = self.compile(sub, child, path + (n,))
+                    checks.extend(sub_checks)
+                    checks.append(Check(
+                        _nn(is_obj & self.v_present(child) & ~ok_of(sub_checks)),
+                        cp, "additionalProperties",
+                        f"additional property {n!r} invalid"))
         return checks
 
     def _map_object_keywords(self, node: dict, val, path: tuple) -> list[Check]:
@@ -1162,11 +1459,15 @@ class TypedRowCompiler(_BaseCompiler):
         if "minProperties" in node:
             checks.append(Check(
                 _nn(is_obj & (F.size(present_keys) < int(node["minProperties"]))), p,
-                "minProperties", f"fewer than {node['minProperties']} properties"))
+                "minProperties", msg_col("MIN_PROPERTIES",
+                                         int(node["minProperties"]),
+                                         _jint(F.size(present_keys)))))
         if "maxProperties" in node:
             checks.append(Check(
                 _nn(is_obj & (F.size(present_keys) > int(node["maxProperties"]))), p,
-                "maxProperties", f"more than {node['maxProperties']} properties"))
+                "maxProperties", msg_col("MAX_PROPERTIES",
+                                         int(node["maxProperties"]),
+                                         _jint(F.size(present_keys)))))
         if "propertyNames" in node:
             name_ok = self._string_pred(node["propertyNames"])
             checks.append(Check(
@@ -1235,10 +1536,13 @@ class TypedRowCompiler(_BaseCompiler):
             return pred
 
         for i, sub in enumerate(prefix):
-            has = F.size(col) > i
-            ok = el_pred(sub, path + (i,))(F.try_element_at(col, F.lit(i + 1)))
-            checks.append(Check(_nn(is_arr & has & ~_nn(ok)), self._ptr(path + (i,)),
-                                "items", f"item {i} invalid"))
+            # kernel parity: per-index subschema errors at path/i with
+            # their own keywords (no synthetic wrapper)
+            has = _nn(is_arr & (F.size(col) > i))
+            el = (F.try_element_at(col, F.lit(i + 1)), et, None)
+            for c in self.compile(sub, el, path + (i,)):
+                checks.append(Check(_nn(has & c.fail), c.path, c.keyword,
+                                    c.message))
         if tail is False:
             checks.append(Check(_nn(is_arr & (F.size(col) > len(prefix))), p, "items",
                                 "extra items not allowed"))
@@ -1251,16 +1555,21 @@ class TypedRowCompiler(_BaseCompiler):
             n = F.size(F.filter(col, el_pred(node["contains"], path)))
             lo = int(node.get("minContains", 1)) if self.dialect != "draft7" else 1
             hi = int(node["maxContains"]) if ("maxContains" in node and self.dialect != "draft7") else None
-            ok = n >= lo
+            checks.append(Check(_nn(is_arr & (n < lo)), p, "contains",
+                                msg_col("CONTAINS_MIN", lo, _jint(n))))
             if hi is not None:
-                ok = ok & (n <= hi)
-            checks.append(Check(_nn(is_arr & ~_nn(ok)), p, "contains", "contains count out of range"))
+                checks.append(Check(_nn(is_arr & (n >= lo) & (n > hi)), p, "maxContains",
+                                    msg_col("CONTAINS_MAX", hi, _jint(n))))
         if "minItems" in node:
             checks.append(Check(_nn(is_arr & (F.size(col) < int(node["minItems"]))), p,
-                                "minItems", f"fewer than {node['minItems']} items"))
+                                "minItems",
+                                msg_col("MIN_ITEMS", int(node["minItems"]),
+                                        _jint(F.size(col)))))
         if "maxItems" in node:
             checks.append(Check(_nn(is_arr & (F.size(col) > int(node["maxItems"]))), p,
-                                "maxItems", f"more than {node['maxItems']} items"))
+                                "maxItems",
+                                render_message("MAX_ITEMS", "maxItems",
+                                               int(node["maxItems"]))))
         if node.get("uniqueItems") is True:
             if isinstance(et, (T.ArrayType, T.StructType, T.MapType)):
                 canon = F.transform(col, F.to_json)
@@ -1274,8 +1583,20 @@ class TypedRowCompiler(_BaseCompiler):
                 canon = F.transform(col, lambda x: x.cast("string"))
             else:
                 canon = col
+            # UniqueItemsCompiler.java:46: arg = the FIRST duplicate
+            # item's instance JsonPointer
+            first_dup = F.array_min(F.filter(
+                F.transform(
+                    F.sequence(F.lit(2), F.greatest(F.size(canon), F.lit(2))),
+                    lambda i: F.when(
+                        F.array_position(
+                            F.slice(canon, 1, i - 1),
+                            F.try_element_at(canon, i)) > 0, i)),
+                lambda x: x.isNotNull()))
+            dup_ptr = F.concat(F.lit(p + "/"), (first_dup - 1).cast("string"))
             checks.append(Check(_nn(is_arr & (F.size(F.array_distinct(canon)) != F.size(col))),
-                                p, "uniqueItems", "duplicate items"))
+                                p, "uniqueItems",
+                                msg_col("UNIQUE_ITEMS", dup_ptr)))
         return checks
 
     def _c_unevaluated_props(self, sub, names: set, pats: list, val, path) -> list[Check]:
