@@ -65,20 +65,34 @@ class ExprUnsupported(Exception):
     """Schema not expressible as a static Column plan → UDF fallback."""
 
 
+_VIOL_TYPE = "array<struct<path:string,keyword:string,message:string>>"
+
+
 @dataclass
 class Check:
     fail: Column  # TRUE ⇔ violation (never NULL)
     path: str  # JSON pointer of the instance location
-    keyword: str
+    keyword: "Optional[str]"  # None = verdict-only (no static entry)
     # reference-identical error text (core.messages templates). A str is
     # a compile-time constant; a Column carries instance values (e.g.
     # "Value 7 greater than 5") rendered JVM-side — still zero Python.
-    message: "str | Column"
+    message: "str | Column" = ""
+    # runtime-addressed violations (per-key / per-index applicators):
+    # an array<struct<path,keyword,message>> Column whose element paths
+    # are built from runtime keys — kernel error-surface parity for
+    # patternProperties / additionalProperties / propertyNames / items
+    # tails / unevaluated*. Emitted alongside (or instead of) the
+    # static entry; `fail` still governs the verdict alone.
+    entries: "Optional[Column]" = None
 
 
 def _nn(cond: Column) -> Column:
     """Null-safe: NULL → False."""
     return F.coalesce(cond, F.lit(False))
+
+
+def _empty_viols() -> Column:
+    return F.array().cast(_VIOL_TYPE)
 
 
 def ok_of(checks: list[Check]) -> Column:
@@ -87,11 +101,18 @@ def ok_of(checks: list[Check]) -> Column:
     return ~reduce(lambda a, b: a | b, [c.fail for c in checks])
 
 
+def _regate(c: Check, gate: Column) -> Check:
+    """A check re-gated on an outer condition, entries included."""
+    ent = None
+    if c.entries is not None:
+        ent = F.when(_nn(gate), c.entries).otherwise(_empty_viols())
+    return Check(_nn(gate & c.fail), c.path, c.keyword, c.message, ent)
+
+
 def violations_array(checks: list[Check]) -> Column:
-    """array<struct<path,keyword,message>> of fired checks."""
-    if not checks:
-        return F.array().cast("array<struct<path:string,keyword:string,message:string>>")
-    entries = [
+    """array<struct<path,keyword,message>> of fired checks (static
+    entries first, then each check's runtime-addressed entries)."""
+    static = [
         F.when(
             c.fail,
             F.struct(
@@ -101,9 +122,16 @@ def violations_array(checks: list[Check]) -> Column:
                  else c.message).alias("message"),
             ),
         )
-        for c in checks
+        for c in checks if c.keyword is not None
     ]
-    return F.filter(F.array(*entries), lambda x: x.isNotNull())
+    parts: list[Column] = []
+    if static:
+        parts.append(F.filter(F.array(*static), lambda x: x.isNotNull()))
+    parts.extend(F.coalesce(c.entries, _empty_viols())
+                 for c in checks if c.entries is not None)
+    if not parts:
+        return _empty_viols()
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
 
 
 _PLACEHOLDER = re.compile(r"\{(\d+)\}")
@@ -323,15 +351,9 @@ class _BaseCompiler:
             # annotations, so coverage must be computed from the
             # ORIGINAL node (the stripped copy has lost the $ref)
             if "unevaluatedProperties" in node:
-                names, pats, all_p = self._static_prop_coverage(node, set(), top=True)
-                if not all_p:
-                    out += self._c_unevaluated_props(
-                        node["unevaluatedProperties"], names, pats, val, path)
+                out += self._unevaluated_prop_checks(node, val, path)
             if "unevaluatedItems" in node:
-                n_cov, all_i = self._static_item_coverage(node, set(), top=True)
-                if not all_i:
-                    out += self._c_unevaluated_items(
-                        node["unevaluatedItems"], n_cov, val, path)
+                out += self._unevaluated_item_checks(node, val, path)
             return out
 
         self._guard_keywords(node)
@@ -430,8 +452,7 @@ class _BaseCompiler:
             # branch's OWN errors surface, then the ANY_OF error
             # (AnyOfCompiler — all_errs extended before the summary)
             for cs in branches:
-                checks.extend(Check(_nn(fail_all & c.fail), c.path, c.keyword,
-                                    c.message) for c in cs)
+                checks.extend(_regate(c, fail_all) for c in cs)
             checks.append(Check(fail_all, p, "anyOf", render_message("ANY_OF")))
         if "oneOf" in node:
             oks = [ok_of(self.compile(s, val, path)) for s in node["oneOf"]]
@@ -459,13 +480,11 @@ class _BaseCompiler:
             # errors surface, then a synthetic then/else marker; the
             # 'if' subschema's errors are always discarded
             for c in then_checks:
-                checks.append(Check(_nn(pres & cond & c.fail), c.path,
-                                    c.keyword, c.message))
+                checks.append(_regate(c, pres & cond))
             checks.append(Check(_nn(pres & cond & ~then_ok), p, "then",
                                 "'then' schema failed"))
             for c in else_checks:
-                checks.append(Check(_nn(pres & ~cond & c.fail), c.path,
-                                    c.keyword, c.message))
+                checks.append(_regate(c, pres & ~cond))
             checks.append(Check(_nn(pres & ~cond & ~else_ok), p, "else",
                                 "'else' schema failed"))
         # dependentRequired/dependentSchemas/unevaluated* are unknown
@@ -504,8 +523,7 @@ class _BaseCompiler:
                 kw = "dependentSchemas" if src_kw == "dependentRequired" else src_kw
                 sub_checks = self.compile(d, val, path)
                 sub_ok = ok_of(sub_checks)
-                checks.extend(Check(_nn(trigger & c.fail), c.path, c.keyword,
-                                    c.message) for c in sub_checks)
+                checks.extend(_regate(c, trigger) for c in sub_checks)
                 checks.append(Check(_nn(trigger & ~sub_ok), p, kw,
                                     f"schema dependency on {k!r} failed"))
         if dreq_viol:
@@ -520,8 +538,7 @@ class _BaseCompiler:
                 trigger = self.v_has_prop(val, k)
                 sub_checks = self.compile(d, val, path)
                 sub_ok = ok_of(sub_checks)
-                checks.extend(Check(_nn(trigger & c.fail), c.path, c.keyword,
-                                    c.message) for c in sub_checks)
+                checks.extend(_regate(c, trigger) for c in sub_checks)
                 checks.append(Check(_nn(trigger & ~sub_ok), p, "dependentSchemas",
                                     f"schema dependency on {k!r} failed"))
 
@@ -533,18 +550,28 @@ class _BaseCompiler:
         # semantics without runtime annotations). Branch-dependent cases
         # raise ExprUnsupported → kernel fallback.
         if "unevaluatedProperties" in node and post7:
-            names, pats, all_p = self._static_prop_coverage(node, set(), top=True)
-            if not all_p:
-                checks.extend(self._c_unevaluated_props(
-                    node["unevaluatedProperties"], names, pats, val, path))
+            checks.extend(self._unevaluated_prop_checks(node, val, path))
         if "unevaluatedItems" in node and post7:
-            n_cov, all_i = self._static_item_coverage(node, set(), top=True)
-            if not all_i:
-                checks.extend(self._c_unevaluated_items(
-                    node["unevaluatedItems"], n_cov, val, path))
+            checks.extend(self._unevaluated_item_checks(node, val, path))
         return checks
 
     # -- static annotation resolution for unevaluated* -----------------
+
+    def _unevaluated_prop_checks(self, node: dict, val, path: tuple) -> list[Check]:
+        """Static-coverage form (typed-row path; VariantCompiler
+        overrides with runtime block-success-gated coverage)."""
+        names, pats, all_p = self._static_prop_coverage(node, set(), top=True)
+        if all_p:
+            return []
+        return self._c_unevaluated_props(
+            node["unevaluatedProperties"], names, pats, val, path)
+
+    def _unevaluated_item_checks(self, node: dict, val, path: tuple) -> list[Check]:
+        n_cov, all_i = self._static_item_coverage(node, set(), top=True)
+        if all_i:
+            return []
+        return self._c_unevaluated_items(
+            node["unevaluatedItems"], n_cov, val, path)
 
     def _uneval_gate(self, node: dict, val) -> Optional[Column]:
         """The absorb gate for this node's in-place applicator checks:
@@ -570,7 +597,7 @@ class _BaseCompiler:
     def _gate_checks(checks: list[Check], gate: Optional[Column]) -> list[Check]:
         if gate is None:
             return checks
-        return [Check(_nn(gate) & c.fail, c.path, c.keyword, c.message)
+        return [_regate(c, gate)
                 for c in checks]
 
     def _coverage_guard(self, node: dict) -> None:
@@ -911,22 +938,52 @@ class VariantCompiler(_BaseCompiler):
                                 msg_col("MAX_PROPERTIES",
                                         int(node["maxProperties"]), _jint(cnt))))
         if "propertyNames" in node:
-            ok_fn = self._string_pred(node["propertyNames"])
-            keys = F.map_keys(self._as_map(v))
-            checks.append(Check(_nn(is_obj & ~_nn(F.forall(keys, ok_fn))), p,
-                                "propertyNames", "invalid property name"))
-        pat_rx = [self._jrx(rx) for rx in (node.get("patternProperties") or {})]
-        if "patternProperties" in node:
-            for rx, sub in node["patternProperties"].items():
-                sub_ok = self._value_pred(sub, path)
-                m = self._as_map(v)
-                keys = F.filter(F.map_keys(m), lambda k: _nn(k.rlike(self._jrx(rx))))
-                all_ok = F.forall(keys, lambda k: sub_ok(F.element_at(m, k)))
-                checks.append(Check(_nn(is_obj & ~_nn(all_ok)), p, "patternProperties",
-                                    f"value of property matching /{rx}/ invalid"))
-        if "additionalProperties" in node:
-            known = list((node.get("properties") or {}).keys())
+            pn_sub = node["propertyNames"]
             m = self._as_map(v)
+
+            def pn(k):
+                # the KEY is the instance (kernel _kw_property_names):
+                # wrap it into a variant losslessly via a JSON array
+                vk = F.try_variant_get(
+                    F.parse_json(F.to_json(F.array(k))), "$[0]", "variant")
+                ptr = F.concat(F.lit(p + "/"), self._esc_seg(k))
+                ok_k, ent_k = self._sub_entries(pn_sub, vk, path, ptr)
+                wrapper = F.struct(
+                    ptr.alias("path"),
+                    F.lit("propertyNames").alias("keyword"),
+                    F.concat(F.lit("invalid property name "),
+                             self._pyrepr(k)).alias("message"))
+                return ok_k, F.concat(F.array(wrapper), ent_k)
+
+            fail, ent = self._keyed_check(F.map_keys(m), pn)
+            checks.append(Check(_nn(is_obj & fail), p, None, entries=F.when(
+                is_obj, ent).otherwise(_empty_viols())))
+        pats = node.get("patternProperties") or {}
+        pat_rx = [self._jrx(rx) for rx in pats]
+        if pats:
+            m = self._as_map(v)
+            for rx, sub in pats.items():
+                jrx = self._jrx(rx)
+                keys = F.filter(F.map_keys(m),
+                                lambda k: _nn(k.rlike(jrx)))
+
+                def pp(k, _sub=sub):
+                    # kernel: the pattern subschema's OWN errors at
+                    # path/<key> — no synthetic wrapper
+                    ptr = F.concat(F.lit(p + "/"), self._esc_seg(k))
+                    return self._sub_entries(_sub, F.element_at(m, k),
+                                             path, ptr)
+
+                fail, ent = self._keyed_check(keys, pp)
+                checks.append(Check(_nn(is_obj & fail), p, None,
+                                    entries=F.when(is_obj, ent)
+                                    .otherwise(_empty_viols())))
+        if "additionalProperties" in node:
+            add = node["additionalProperties"]
+            props = node.get("properties") or {}
+            known = list(props.keys())
+            m = self._as_map(v)
+
             def is_additional(k):
                 cond = F.lit(True)
                 if known:
@@ -934,15 +991,84 @@ class VariantCompiler(_BaseCompiler):
                 for rx in pat_rx:
                     cond = cond & ~_nn(k.rlike(rx))
                 return cond
+
+            def ap_wrapper(ptr, k):
+                return F.struct(
+                    ptr.alias("path"),
+                    F.lit("additionalProperties").alias("keyword"),
+                    F.concat(F.lit("additional property "), self._pyrepr(k),
+                             F.lit(" invalid")).alias("message"))
+
+            def ap(k):
+                ptr = F.concat(F.lit(p + "/"), self._esc_seg(k))
+                ok_k, ent_k = self._sub_entries(add, F.element_at(m, k),
+                                                path, ptr)
+                return ok_k, F.concat(F.array(ap_wrapper(ptr, k)), ent_k)
+
             extra = F.filter(F.map_keys(m), is_additional)
-            if node["additionalProperties"] is False:
-                checks.append(Check(_nn(is_obj & (F.size(extra) > 0)), p,
-                                    "additionalProperties", "additional properties present"))
-            else:
-                sub_ok = self._value_pred(node["additionalProperties"], path)
-                all_ok = F.forall(extra, lambda k: sub_ok(F.element_at(m, k)))
-                checks.append(Check(_nn(is_obj & ~_nn(all_ok)), p,
-                                    "additionalProperties", "an additional property is invalid"))
+            fail, ent = self._keyed_check(extra, ap)
+            checks.append(Check(_nn(is_obj & fail), p, None,
+                                entries=F.when(is_obj, ent)
+                                .otherwise(_empty_viols())))
+
+            # reference absorb (AdditionalPropertiesCompiler.java:75-95,
+            # kernel _kw_properties_block): a MATCHED key whose every
+            # matching subschema failed is re-validated against
+            # additionalProperties and those errors surface too —
+            # error-surface only, the verdict is already false.
+            if add is not True and add != {} and (known or pats):
+                crxs = [(rx, self._pyrx(rx)) for rx in pats]
+                for n in known:
+                    child = self._child(v, n)
+                    present = _nn(is_obj & child.isNotNull())
+                    succ = [ok_of(self.compile(props[n], child,
+                                               path + (n,)))]
+                    for rx, crx in crxs:
+                        if crx.search(n):
+                            succ.append(ok_of(self.compile(
+                                pats[rx], child, path + (n,))))
+                    succeeded = reduce(lambda a, b: a | b, succ)
+                    cp = self._ptr(path + (n,))
+                    a_ok, a_ent = self._sub_entries(add, child, path,
+                                                    F.lit(cp))
+                    wrapper = F.struct(
+                        F.lit(cp).alias("path"),
+                        F.lit("additionalProperties").alias("keyword"),
+                        F.lit(f"additional property {n!r} invalid")
+                         .alias("message"))
+                    gate = present & ~_nn(succeeded) & ~_nn(a_ok)
+                    checks.append(Check(F.lit(False), cp, None, entries=F.when(
+                        gate, F.concat(F.array(wrapper), a_ent))
+                        .otherwise(_empty_viols())))
+                if pats:
+                    def matched_not_known(k):
+                        cond = F.lit(False)
+                        for rx in pat_rx:
+                            cond = cond | _nn(k.rlike(rx))
+                        if known:
+                            cond = cond & ~k.isin(known)
+                        return cond
+
+                    def ab(k):
+                        el = F.element_at(m, k)
+                        ptr = F.concat(F.lit(p + "/"), self._esc_seg(k))
+                        succ = F.lit(False)
+                        for rx, sub2 in pats.items():
+                            succ = succ | (
+                                _nn(k.rlike(self._jrx(rx)))
+                                & _nn(ok_of(self.compile(sub2, el, path))))
+                        a_ok, a_ent = self._sub_entries(add, el, path, ptr)
+                        return F.when(
+                            ~succ & ~_nn(a_ok),
+                            F.concat(F.array(ap_wrapper(ptr, k)), a_ent)
+                        ).otherwise(_empty_viols())
+
+                    ent2 = F.coalesce(F.flatten(F.transform(
+                        F.filter(F.map_keys(m), matched_not_known), ab)),
+                        _empty_viols())
+                    checks.append(Check(F.lit(False), p, None,
+                                        entries=F.when(is_obj, ent2)
+                                        .otherwise(_empty_viols())))
         return checks
 
     def _array_keywords(self, node: dict, v: Column, path: tuple) -> list[Check]:
@@ -962,28 +1088,69 @@ class VariantCompiler(_BaseCompiler):
                 tail_schema = node.get("additionalItems")
             else:
                 tail_schema = items
+        # legacy absorb (v2019/AdditionalItemsCompiler.java:71-96,
+        # kernel _kw_items_legacy.absorb): with BOTH items and
+        # additionalItems, an index whose items subschema FAILED is
+        # re-validated against additionalItems and those errors surface
+        # too — error-surface only, the verdict is already false.
+        absorb_sub = None
+        if (self.dialect != "2020-12" and items is not None
+                and "additionalItems" in node):
+            a = node["additionalItems"]
+            if a is not True and a != {}:
+                absorb_sub = a
+
+        def absorb_entry(el, ptr: Column, idx: Column) -> Column:
+            a_ok, a_ent = self._sub_entries(absorb_sub, el, path, ptr)
+            wrapper = F.struct(
+                ptr.alias("path"),
+                F.lit("additionalItems").alias("keyword"),
+                F.concat(F.lit("item "), idx.cast("string"),
+                         F.lit(" invalid against additionalItems"))
+                 .alias("message"))
+            return F.when(~_nn(a_ok), F.concat(F.array(wrapper), a_ent)) \
+                    .otherwise(_empty_viols())
+
         for i, sub in enumerate(prefix):
             # kernel parity (_kw_items*): per-index subschema errors
             # surface at path/i with their OWN keywords — no synthetic
             # per-item wrapper
             el = F.try_element_at(arr, F.lit(i + 1))
             has = _nn(is_arr & (F.size(arr) > i))
-            for c in self.compile(sub, el, path + (i,)):
-                checks.append(Check(_nn(has & c.fail), c.path, c.keyword,
-                                    c.message))
-        if tail_schema is not None:
+            sub_checks = self.compile(sub, el, path + (i,))
+            for c in sub_checks:
+                checks.append(_regate(c, has))
+            if absorb_sub is not None:
+                gate = has & ~_nn(ok_of(sub_checks))
+                checks.append(Check(F.lit(False), p, None, entries=F.when(
+                    gate, absorb_entry(el, F.lit(self._ptr(path + (i,))),
+                                       F.lit(i))).otherwise(_empty_viols())))
+        if tail_schema is not None and tail_schema is not True \
+                and tail_schema != {}:
             start = len(prefix)
-            kwname = "items" if not (prefix and self.dialect != "2020-12") else "additionalItems"
-            if self.dialect == "2020-12":
-                kwname = "items"
-            if tail_schema is False:
-                checks.append(Check(_nn(is_arr & (F.size(arr) > start)), p, kwname,
-                                    f"no items allowed beyond index {start - 1}"))
-            elif tail_schema is not True:
-                sub_ok = self._value_pred(tail_schema, path)
-                tail = F.slice(arr, start + 1, F.greatest(F.size(arr) - start, F.lit(0)))
-                checks.append(Check(_nn(is_arr & ~_nn(F.forall(tail, sub_ok))), p, kwname,
-                                    "an item is invalid"))
+            # single-form legacy items: additionalItems only ever
+            # re-validates FAILED indices (absorb); tuple-form tails
+            # (additionalItems as the tail schema) have NO wrapper
+            tail_absorb = absorb_sub if (absorb_sub is not None
+                                         and not prefix) else None
+            idxs = F.when(is_arr & (F.size(arr) > start),
+                          F.sequence(F.lit(start + 1), F.size(arr))) \
+                    .otherwise(F.array().cast("array<int>"))
+
+            def ti(i):
+                el = F.try_element_at(arr, i)
+                ptr = F.concat(F.lit(p + "/"), (i - 1).cast("string"))
+                ok_i, ent_i = self._sub_entries(tail_schema, el, path, ptr)
+                if tail_absorb is not None:
+                    ent_i = F.concat(ent_i, F.when(
+                        ~_nn(ok_i), absorb_entry(el, ptr, i - 1))
+                        .otherwise(_empty_viols()))
+                return ok_i, ent_i
+
+            fail, ent = self._keyed_check(idxs, ti)
+            checks.append(Check(_nn(is_arr & fail), p, None,
+                                entries=F.when(is_arr, ent)
+                                .otherwise(_empty_viols())))
         if "contains" in node:
             sub_ok = self._value_pred(node["contains"], path)
             n = F.size(F.filter(arr, sub_ok))
@@ -1032,7 +1199,13 @@ class VariantCompiler(_BaseCompiler):
             # plus the json. Residual caveat: nested "1e0" (DOUBLE) vs
             # "1.0" (DECIMAL) are one DoubleNode to Jackson but two
             # type tags here — the kernel is authoritative for nested
-            # exponent-lexeme exotica.
+            # exponent-lexeme exotica. Second residual: a "-0.0"
+            # DECIMAL lexeme normalizes to unsigned DECIMAL(1,0) in the
+            # variant (sign unrecoverable), so [-0.0, 0.0] reads as a
+            # duplicate here while Jackson's HashSet (sign-bit
+            # hashCode) keeps them distinct — the kernel (strict_key
+            # zero-sign marker) is authoritative; exponent-lexeme -0e0
+            # stays DOUBLE and keeps its sign.
             def _canon_el(x):
                 vt = F.schema_of_variant(x)
                 big = F.try_variant_get(x, "$", "bigint")
@@ -1067,45 +1240,216 @@ class VariantCompiler(_BaseCompiler):
                                 msg_col("UNIQUE_ITEMS", dup_ptr)))
         return checks
 
-    def _c_unevaluated_props(self, sub, names: set, pats: list, v, path) -> list[Check]:
+    # -- runtime annotation coverage for unevaluated* ------------------
+    # kernel parity (_kw_properties_block / _kw_items_* commit their
+    # evaluated annotations ONLY when the whole block succeeded): a key
+    # covered by a FAILING contributor block is unevaluated at runtime
+    # and is re-validated by unevaluated* (wrapper + sub errors), so
+    # coverage is block_ok-gated per contributor, not a static union.
+
+    _ANN_ONLY = frozenset({
+        "$comment", "title", "description", "default", "examples",
+        "deprecated", "readOnly", "writeOnly", "$defs", "definitions",
+        "$id", "$anchor", "$schema", "$vocabulary",
+    })
+
+    @staticmethod
+    def _never_fails(s) -> bool:
+        return s is True or s == {}
+
+    def _infallible_cov(self, s) -> bool:
+        """Conservatively true when ``s`` can never fail on ANY
+        instance (so its annotations always commit and no runtime gate
+        is needed)."""
+        if s is True or s == {}:
+            return True
+        if not isinstance(s, dict):
+            return True  # non-schema node compiles to always-OK
+        for k, v in s.items():
+            if k in self._ANN_ONLY:
+                continue
+            if k in ("properties", "patternProperties"):
+                if any(not self._infallible_cov(x) for x in v.values()):
+                    return False
+            elif k in ("additionalProperties", "additionalItems",
+                       "propertyNames", "unevaluatedProperties",
+                       "unevaluatedItems"):
+                if not self._infallible_cov(v):
+                    return False
+            elif k in ("items", "prefixItems", "allOf"):
+                subs = v if isinstance(v, list) else [v]
+                if any(not self._infallible_cov(x) for x in subs):
+                    return False
+            else:
+                return False  # contains/required/type/... can fail
+        return True
+
+    def _prop_contributors(self, node, val, path: tuple) -> list[tuple]:
+        """(names, pats, has_add, can_fail, gate_ok) per annotation
+        contributor of the TOP node. Its OWN property block is gated on
+        the BLOCK's success (same-node siblings share the annotation
+        list — kernel ``_kw_properties_block`` commits iff the block
+        ok); each in-place applicator subschema (allOf member / $ref
+        target) contributes its full-subtree static coverage gated on
+        the MEMBER's whole ok — the kernel drops a failed subschema's
+        annotations wholesale (``validator.py:419,451-454``)."""
+        self._coverage_guard(node)
+        out = []
+        names = set(node.get("properties") or {})
+        pats = list(node.get("patternProperties") or {})
+        has_add = "additionalProperties" in node
+        if names or pats or has_add:
+            block = {k: node[k] for k in
+                     ("properties", "patternProperties",
+                      "additionalProperties") if k in node}
+            can_fail = not self._infallible_cov(block)
+            bok = ok_of(self._object_keywords(block, val, path)) \
+                if can_fail else F.lit(True)
+            out.append((names, pats, has_add, can_fail, bok))
+        for m in self._resolve_allof_refs(node, set()):
+            m_names, m_pats, m_all = self._static_prop_coverage(m, set())
+            if not (m_names or m_pats or m_all):
+                continue
+            if self._infallible_cov(m):
+                out.append((m_names, m_pats, m_all, False, F.lit(True)))
+            else:
+                out.append((m_names, m_pats, m_all, True,
+                            ok_of(self.compile(m, val, path))))
+        return out
+
+    def _item_contributors(self, node, val, path: tuple) -> list[tuple]:
+        """(covered_prefix, has_all, can_fail, gate_ok) per contributor
+        — same gating model as :meth:`_prop_contributors`."""
+        self._coverage_guard(node)
+        if "contains" in node:
+            raise ExprUnsupported(
+                "unevaluatedItems with contains needs the UDF kernel")
+        out = []
+        items = node.get("items")
+        covered = 0
+        has_all = False
+        block: dict = {}
+        if self.dialect == "2020-12":
+            if "prefixItems" in node:
+                covered = len(node["prefixItems"] or [])
+                block["prefixItems"] = node["prefixItems"]
+            if items is not None:
+                has_all = True
+                block["items"] = items
+        elif isinstance(items, list):
+            covered = len(items)
+            block["items"] = items
+            if "additionalItems" in node:
+                has_all = True
+                block["additionalItems"] = node["additionalItems"]
+        elif items is not None:
+            has_all = True
+            block["items"] = items
+        if block:
+            can_fail = not self._infallible_cov(block)
+            bok = ok_of(self._array_keywords(block, val, path)) \
+                if can_fail else F.lit(True)
+            out.append((covered, has_all, can_fail, bok))
+        for m in self._resolve_allof_refs(node, set()):
+            c_m, all_m = self._static_item_coverage(m, set())
+            if c_m == 0 and not all_m:
+                continue
+            if self._infallible_cov(m):
+                out.append((c_m, all_m, False, F.lit(True)))
+            else:
+                out.append((c_m, all_m, True,
+                            ok_of(self.compile(m, val, path))))
+        return out
+
+    def _unevaluated_prop_checks(self, node: dict, val, path: tuple) -> list[Check]:
+        sub = node["unevaluatedProperties"]
+        infos = self._prop_contributors(node, val, path)
+        if any(has_add and not can_fail
+               for _, _, has_add, can_fail, _ in infos):
+            return []  # an infallible contributor evaluates every key
+        return self._c_unevaluated_props_rt(sub, infos, val, path)
+
+    def _unevaluated_item_checks(self, node: dict, val, path: tuple) -> list[Check]:
+        sub = node["unevaluatedItems"]
+        infos = self._item_contributors(node, val, path)
+        if any(has_all and not can_fail
+               for _, has_all, can_fail, _ in infos):
+            return []  # an infallible contributor evaluates every index
+        return self._c_unevaluated_items_rt(sub, infos, val, path)
+
+    def _c_unevaluated_props_rt(self, sub, infos: list, v, path) -> list[Check]:
         p = self._ptr(path)
         is_obj = self.v_type_is(v, "object")
         m = self._as_map(v)
-        rxs = [self._jrx(rx) for rx in pats]
-        names_l = sorted(names)
-
-        def is_uneval(k):
-            cond = F.lit(True)
-            if names_l:
-                cond = cond & ~k.isin(names_l)
-            for rx in rxs:
-                cond = cond & ~_nn(k.rlike(rx))
-            return cond
-
-        extra = F.filter(F.map_keys(m), is_uneval)
-        if sub is False:
-            return [Check(_nn(is_obj & (F.size(extra) > 0)), p, "unevaluatedProperties",
-                          "unevaluated properties present")]
         if sub is True or sub == {}:
             return []
-        sub_ok = self._value_pred(sub, path)
-        all_ok = F.forall(extra, lambda k: sub_ok(F.element_at(m, k)))
-        return [Check(_nn(is_obj & ~_nn(all_ok)), p, "unevaluatedProperties",
-                      "an unevaluated property is invalid")]
 
-    def _c_unevaluated_items(self, sub, covered: int, v, path) -> list[Check]:
+        def is_uneval(k):
+            ev = F.lit(False)
+            for names, pats, has_add, _cf, bok in infos:
+                if has_add:
+                    matched = F.lit(True)
+                else:
+                    matched = F.lit(False)
+                    if names:
+                        matched = matched | k.isin(sorted(names))
+                    for rx in pats:
+                        matched = matched | _nn(k.rlike(self._jrx(rx)))
+                ev = ev | (_nn(bok) & matched)
+            return ~ev
+
+        extra = F.filter(F.map_keys(m), is_uneval)
+
+        def ue(k):
+            # kernel _kw_unevaluated_properties: wrapper + sub errors
+            ptr = F.concat(F.lit(p + "/"), self._esc_seg(k))
+            ok_k, ent_k = self._sub_entries(sub, F.element_at(m, k), path, ptr)
+            wrapper = F.struct(
+                ptr.alias("path"),
+                F.lit("unevaluatedProperties").alias("keyword"),
+                F.concat(F.lit("unevaluated property "), self._pyrepr(k),
+                         F.lit(" invalid")).alias("message"))
+            return ok_k, F.concat(F.array(wrapper), ent_k)
+
+        fail, ent = self._keyed_check(extra, ue)
+        return [Check(_nn(is_obj & fail), p, None,
+                      entries=F.when(is_obj, ent).otherwise(_empty_viols()))]
+
+    def _c_unevaluated_items_rt(self, sub, infos: list, v, path) -> list[Check]:
         p = self._ptr(path)
         is_arr = self.v_type_is(v, "array")
         arr = self._as_array(v)
-        if sub is False:
-            return [Check(_nn(is_arr & (F.size(arr) > covered)), p, "unevaluatedItems",
-                          f"unevaluated items beyond index {covered - 1}")]
         if sub is True or sub == {}:
             return []
-        tail = F.slice(arr, covered + 1, F.greatest(F.size(arr) - covered, F.lit(0)))
-        sub_ok = self._value_pred(sub, path)
-        return [Check(_nn(is_arr & ~_nn(F.forall(tail, sub_ok))), p, "unevaluatedItems",
-                      "an unevaluated item is invalid")]
+
+        def is_uneval(i):
+            ev = F.lit(False)
+            for covered, has_all, _cf, bok in infos:
+                within = F.lit(True) if has_all else (i <= covered)
+                ev = ev | (_nn(bok) & within)
+            return ~ev
+
+        idxs = F.filter(
+            F.when(is_arr & (F.size(arr) > 0),
+                   F.sequence(F.lit(1), F.size(arr)))
+             .otherwise(F.array().cast("array<int>")),
+            is_uneval)
+
+        def ui(i):
+            # kernel _kw_unevaluated_items: wrapper + sub errors
+            el = F.try_element_at(arr, i)
+            ptr = F.concat(F.lit(p + "/"), (i - 1).cast("string"))
+            ok_i, ent_i = self._sub_entries(sub, el, path, ptr)
+            wrapper = F.struct(
+                ptr.alias("path"),
+                F.lit("unevaluatedItems").alias("keyword"),
+                F.concat(F.lit("unevaluated item at "), (i - 1).cast("string"),
+                         F.lit(" invalid")).alias("message"))
+            return ok_i, F.concat(F.array(wrapper), ent_i)
+
+        fail, ent = self._keyed_check(idxs, ui)
+        return [Check(_nn(is_arr & fail), p, None,
+                      entries=F.when(is_arr, ent).otherwise(_empty_viols()))]
 
     def _value_pred(self, sub: Any, path: tuple) -> Callable[[Column], Column]:
         """Subschema as a reusable predicate fn(variant) -> ok Column,
@@ -1115,6 +1459,89 @@ class VariantCompiler(_BaseCompiler):
             return ok_of(self.compile(sub, el, path))
 
         return pred
+
+    # -- runtime-addressed violation entries ---------------------------
+    # kernel error-surface parity for applicators whose error paths are
+    # built from RUNTIME keys/indices (_kw_properties_block,
+    # _kw_property_names, _kw_items_*, _kw_unevaluated_* in
+    # core/validator.py): each produces an
+    # array<struct<path,keyword,message>> Column carried on
+    # Check.entries, so the expression path emits the SAME per-key /
+    # per-index violations the kernel (and the reference) does.
+
+    @staticmethod
+    def _esc_seg(k: Column) -> Column:
+        """RFC 6901 escaping of a runtime pointer segment."""
+        return F.replace(F.replace(k, F.lit("~"), F.lit("~0")),
+                         F.lit("/"), F.lit("~1"))
+
+    @staticmethod
+    def _pyrepr(k: Column) -> Column:
+        """Python ``repr()`` of a string key — the kernel's wrapper
+        messages interpolate ``{k!r}``. Covers the printable subset
+        (backslash, quote selection, \\n/\\r/\\t); other control-char
+        escapes are kernel-only exotica."""
+        esc = F.replace(k, F.lit("\\"), F.lit("\\\\"))
+        for raw, rep in (("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
+            esc = F.replace(esc, F.lit(raw), F.lit(rep))
+        use_dq = F.contains(k, F.lit("'")) & ~F.contains(k, F.lit('"'))
+        return F.when(use_dq, F.concat(F.lit('"'), esc, F.lit('"'))) \
+            .otherwise(F.concat(F.lit("'"),
+                                F.replace(esc, F.lit("'"), F.lit("\\'")),
+                                F.lit("'")))
+
+    def _sub_entries(self, sub: Any, el: Column, base_path: tuple,
+                     ptr: Column) -> tuple[Column, Column]:
+        """Compile ``sub`` against element ``el`` addressed by the
+        RUNTIME pointer ``ptr``; return ``(ok, entries)`` where entry
+        paths are ``ptr`` plus each check's static suffix below the
+        element (nested runtime entries are re-based the same way)."""
+        token = "\x00rt\x00"
+        checks = self.compile(sub, el, base_path + (token,))
+        prefix = self._ptr(base_path + (token,))
+        plen = len(prefix)
+        parts: list[Column] = []
+        static = []
+        for c in checks:
+            if c.keyword is None:
+                continue
+            suffix = c.path[plen:]
+            pcol = F.concat(ptr, F.lit(suffix)) if suffix else ptr
+            static.append(F.when(c.fail, F.struct(
+                pcol.alias("path"), F.lit(c.keyword).alias("keyword"),
+                (F.lit(c.message) if isinstance(c.message, str)
+                 else c.message).alias("message"))))
+        if static:
+            parts.append(F.filter(F.array(*static), lambda x: x.isNotNull()))
+        for c in checks:
+            if c.entries is not None:
+                parts.append(F.transform(c.entries, lambda e: F.struct(
+                    F.concat(ptr, F.substring(e["path"], plen + 1, 2147483647))
+                     .alias("path"),
+                    e["keyword"].alias("keyword"),
+                    e["message"].alias("message"))))
+        if not parts:
+            ent = _empty_viols()
+        else:
+            ent = parts[0] if len(parts) == 1 else F.concat(*parts)
+        return ok_of(checks), F.coalesce(ent, _empty_viols())
+
+    @staticmethod
+    def _keyed_check(keys: Column, per_key) -> tuple[Column, Column]:
+        """Fan a (ok, entries) builder over a runtime key/index array in
+        ONE transform; return (any_fail, flattened failing entries)."""
+
+        def mk(k):
+            ok_k, ent_k = per_key(k)
+            return F.struct(_nn(ok_k).alias("ok"), ent_k.alias("ent"))
+
+        both = F.transform(keys, mk)
+        any_fail = _nn(F.exists(both, lambda x: ~x["ok"]))
+        ent = F.coalesce(
+            F.flatten(F.transform(F.filter(both, lambda x: ~x["ok"]),
+                                  lambda x: x["ent"])),
+            _empty_viols())
+        return any_fail, ent
 
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _NUMERIC = _INTEGRAL + (T.FloatType, T.DoubleType, T.DecimalType)
@@ -1541,8 +1968,7 @@ class TypedRowCompiler(_BaseCompiler):
             has = _nn(is_arr & (F.size(col) > i))
             el = (F.try_element_at(col, F.lit(i + 1)), et, None)
             for c in self.compile(sub, el, path + (i,)):
-                checks.append(Check(_nn(has & c.fail), c.path, c.keyword,
-                                    c.message))
+                checks.append(_regate(c, has))
         if tail is False:
             checks.append(Check(_nn(is_arr & (F.size(col) > len(prefix))), p, "items",
                                 "extra items not allowed"))

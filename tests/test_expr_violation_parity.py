@@ -29,32 +29,11 @@ from json_schema_spark.plans.compiler import ExprUnsupported
 from json_schema_spark.plans.runner import SparkValidator
 from tests import differential_gen as G
 
-# applicators whose kernel error surface addresses RUNTIME keys/indices
-# (or re-validates declared keys) — the expr path intentionally fuses
-# them into one parent-path check, so they are out of the exact set
-_RUNTIME_ADDRESSED = (
-    "patternProperties", "additionalProperties", "propertyNames",
-    "unevaluatedProperties", "unevaluatedItems", "additionalItems",
-)
-
-
-def _exactly_addressable(node) -> bool:
-    if isinstance(node, list):
-        return all(_exactly_addressable(s) for s in node)
-    if not isinstance(node, dict):
-        return True
-    for kw in _RUNTIME_ADDRESSED:
-        if kw in node:
-            return False
-    items = node.get("items")
-    if isinstance(items, (dict, bool)):
-        return False  # tail schema: per-element errors at runtime paths
-    deps = node.get("dependencies")
-    if isinstance(deps, dict) and any(
-            isinstance(v, bool) for v in deps.values()):
-        # bool-schema dependency: fine (inlined) — keep
-        pass
-    return all(_exactly_addressable(v) for v in node.values())
+# Round-4: runtime-keyed applicators (patternProperties /
+# additionalProperties / propertyNames / items tails / additionalItems
+# absorb / unevaluated*) now emit kernel-identical per-key / per-index
+# entries via Check.entries (plans/compiler.py::_sub_entries), so the
+# ENTIRE compilable surface is in the exact set — no exclusions.
 
 
 def _instance_at(doc, pointer: str):
@@ -78,6 +57,23 @@ def _is_container_divergence(doc_text: str, path: str, kw: str) -> bool:
     except ValueError:
         return False
     return isinstance(inst, (dict, list))
+
+
+def _is_negzero_divergence(doc_text: str, path: str, e_msg: str,
+                           k_msg: str) -> bool:
+    """A ``-0.0`` DECIMAL lexeme loses its sign in the variant encoding
+    (DECIMAL(1,0), probe-verified), so expr messages render ``0.0``
+    where Jackson prints ``-0.0`` — accept exactly that divergence when
+    the addressed instance IS a negative-zero float."""
+    import math
+    if e_msg != k_msg.replace("-0.0", "0.0"):
+        return False
+    try:
+        inst = _instance_at(json.loads(doc_text), path)
+    except ValueError:
+        return False
+    return (isinstance(inst, float) and inst == 0.0
+            and math.copysign(1.0, inst) < 0)
 
 
 def _compare(spark, cases, dialect):
@@ -118,6 +114,11 @@ def _compare(spark, cases, dialect):
                 continue
             e_errs = [(e["path"], e["keyword"], e["message"])
                       for e in (r[f"e{k}"] or [])]
+            k_errs = [
+                (pth, kw, msg.replace("-0.0", "0.0"))
+                if _is_negzero_divergence(d, pth, msg.replace("-0.0", "0.0"),
+                                          msg) else (pth, kw, msg)
+                for pth, kw, msg in k_errs]
             exempt = [t for t in k_errs
                       if _is_container_divergence(d, t[0], t[1])]
             if exempt:
@@ -149,7 +150,9 @@ TARGETED_D7 = [
     ({"const": 3.5}, ["3", '"3.5"', "[]"]),
     ({"minimum": 5}, ["4", "4.5", "-2e3"]),
     ({"maximum": 5.5}, ["6", "1e4", "5.50000001"]),
-    ({"exclusiveMinimum": 0}, ["0", "0.0", "-1"]),
+    # both zero lexemes in one batch: ±0.0 collide under lru_cache's
+    # ==/hash keying but render with their sign (Double.toString)
+    ({"exclusiveMinimum": 0}, ["0", "-0.0", "0.0", "-1"]),
     ({"exclusiveMaximum": 10}, ["10", "10.0", "123456"]),
     ({"multipleOf": 3}, ["4", "4.5", "1e2"]),
     ({"multipleOf": 0.5}, ["0.75", "7"]),
@@ -183,6 +186,34 @@ TARGETED_D7 = [
       "required": ["a"]}, ['{"a":5}', '{"a":"x"}', "{}"]),
     (False, ["1", '"x"']),
     ({"properties": {"a": False}}, ['{"a":1}', "{}"]),
+    # runtime-addressed applicators (Check.entries)
+    ({"patternProperties": {"^a": {"type": "integer", "minimum": 3}}},
+     ['{"ab":1,"ax":"s","b":9}', '{"ab":4}', "{}", "3"]),
+    ({"properties": {"a": {"type": "integer"}},
+      "additionalProperties": False},
+     ['{"a":1,"b":2,"c":3}', '{"a":"x"}', '{"a":1}']),
+    ({"additionalProperties": {"type": "string"}},
+     ['{"x":1,"y":"s"}', "{}"]),
+    ({"properties": {"a": {"type": "string"}},
+      "additionalProperties": {"minimum": 5}},
+     ['{"a":3}', '{"a":"s","b":1}', '{"a":3,"b":9}']),
+    ({"patternProperties": {"^a": {"type": "integer"}},
+      "additionalProperties": {"type": "boolean"}},
+     ['{"ab":"x"}', '{"ab":true}', '{"zz":1}']),
+    ({"propertyNames": {"minLength": 2, "pattern": "^[ab]"}},
+     ['{"a":1,"bcd":2,"zz":3}', '{"ab":1}']),
+    ({"propertyNames": {"enum": ["aa", "bb"]}}, ['{"aa":1,"cc":2}']),
+    ({"items": {"type": "integer"}}, ['[1,"x",2.5]', "[1,2]", '"s"']),
+    ({"items": [{"type": "string"}],
+      "additionalItems": {"type": "integer"}},
+     ['[1,"x","y"]', '["a",1]', '["a","b"]']),
+    ({"items": {"minimum": 2}, "additionalItems": {"type": "string"}},
+     ["[1,5]", "[3]"]),
+    ({"items": [{"type": "string"}], "additionalItems": False},
+     ['["a",1,2]', '["a"]']),
+    ({"items": False}, ["[1,2]", "[]"]),
+    ({"items": {"properties": {"a": {"minimum": 1}}, "required": ["a"]}},
+     ['[{"a":0},{}]', '[{"a":2}]']),
 ]
 
 TARGETED_2020 = [
@@ -194,6 +225,19 @@ TARGETED_2020 = [
     ({"contains": {"type": "integer"}, "minContains": 2,
       "maxContains": 3}, ['[1,"x"]', "[1,2,3,4]"]),
     ({"exclusiveMinimum": 2.5}, ["2.5", "1"]),
+    ({"allOf": [{"properties": {"a": {"type": "string"}}}],
+      "unevaluatedProperties": False},
+     ['{"a":"x","b":1}', '{"a":"x"}']),
+    ({"allOf": [{"properties": {"a": True}}],
+      "unevaluatedProperties": {"type": "integer"}},
+     ['{"a":1,"b":"s","c":2}']),
+    ({"prefixItems": [{"type": "string"}],
+      "unevaluatedItems": {"maximum": 2}},
+     ['["a",1,5]', '["a",1]']),
+    ({"prefixItems": [{"type": "string"}], "unevaluatedItems": False},
+     ['["a",1]', '["a"]']),
+    ({"prefixItems": [{"type": "integer"}], "items": {"minimum": 2}},
+     ['["x",1,3]', "[1,5]"]),
 ]
 
 
@@ -220,8 +264,6 @@ def test_fuzz_violation_parity(spark, dialect, seed):
     while len(cases) < 60 and tried < 400:
         tried += 1
         schema = G.schema(rng, dialect, depth=3, top=True)
-        if not _exactly_addressable(schema):
-            continue
         docs = [json.dumps(G.value(rng)) for _ in range(6)]
         t = G.targeted_value(rng, schema)
         docs.append(json.dumps(t))

@@ -43,7 +43,11 @@ def test_planted_violation_counts(spark, table):
             .collect()
         )
     }
-    assert kw[("required", "")] == len(range(0, N, 997)) + len(range(0, N, 1009))
+    # ONE joined error per row listing every missing name
+    # (RequiredCompiler.java:40,52-54 — reference-parity messages), so
+    # row 0, planted with BOTH missing columns, counts once
+    planted_required = set(range(0, N, 997)) | set(range(0, N, 1009))
+    assert kw[("required", "")] == len(planted_required)
     assert kw[("pattern", "/commit")] == len(range(0, N, 499))
     assert kw[("enum", "/lang")] == len(range(0, N, 503))
     assert kw[("maxLength", "/path")] == len(range(0, N, 991))
