@@ -65,6 +65,11 @@ def double_canonical(lexeme_or_float) -> Decimal:
     f = float(lexeme_or_float)
     if f != f or f in (float("inf"), float("-inf")):
         return Decimal(f)  # ±Infinity / NaN pass through
+    if f == 0.0:
+        # bypass the cache: lru_cache keys by ==/hash, under which -0.0
+        # and 0.0 COLLIDE — but Decimal (and Double.toString) keep the
+        # sign, so a poisoned slot would render "-0.0" for "0.0"
+        return Decimal(java17_double_repr(f))
     return _java_decimal_cached(f)
 
 
@@ -209,6 +214,13 @@ def strict_key(v: Any) -> Any:
         if d.is_nan():
             return ("d", "NaN")  # Decimal NaN is unhashable; Jackson
             # DoubleNode(NaN).equals(NaN) is true (Double.equals)
+        if d.is_zero() and d.is_signed():
+            # Jackson DoubleNode.hashCode is doubleToLongBits-based, so
+            # -0.0 and 0.0 land in DIFFERENT HashSet buckets and are
+            # never equals-compared: uniqueItems sees [-0.0, 0.0] as
+            # UNIQUE (reference-probe verified) even though const/enum
+            # (primitive == equality) treat the two zeros as equal
+            return ("d", d, "-")
         return ("d", d)
     if isinstance(v, str):
         return ("s", v)

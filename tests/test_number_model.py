@@ -72,7 +72,10 @@ REFERENCE_VERIFIED = [
     ('{"const": -0.0}', "0", "t"),
     ('{"const": 0}', "-0.0", "t"),
     ('{"uniqueItems": true}', "[0, -0.0]", "t"),  # int vs float family
-    ('{"uniqueItems": true}', "[0.0, -0.0]", "f"),  # same family, equal
+    # same family but DISTINCT: DoubleNode.hashCode (doubleToLongBits)
+    # splits ±0.0 into different HashSet buckets — probe-verified
+    # round 4, see NEGZERO_UNIQUE below
+    ('{"uniqueItems": true}', "[0.0, -0.0]", "t"),
     # nested float const: same-lexeme floats are equal (was a real bug —
     # schema float vs instance decimal sat in different families)
     ('{"const": {"a": 1.5}}', '{"a": 1.5}', "t"),
@@ -120,3 +123,42 @@ def test_jackson_rejects_nonstandard_tokens():
     for bad in ("Infinity", "-Infinity", "NaN", "[Infinity]"):
         with pytest.raises(ValueError):
             parse_json(bad)
+
+
+# reference-probe verified (round 4): Jackson DoubleNode.hashCode is
+# doubleToLongBits-based, so -0.0 and 0.0 land in DIFFERENT HashSet
+# buckets and are never equals-compared — uniqueItems keeps them
+# DISTINCT at every nesting depth, while const/enum (primitive ==
+# equality) treat the two zeros as equal.
+NEGZERO_UNIQUE = [
+    ('[-0.0, 0.0]', True), ('[0.0, -0.0]', True), ('[-0.0, -0.0]', False),
+    ('[0, -0.0]', True), ('[[-0.0], [0.0]]', True),
+    ('[[-0.0], [-0.0]]', False), ('[{"a": -0.0}, {"a": 0.0}]', True),
+    ('[-0e0, 0.0]', True), ('[-0e0, -0.0]', False), ('[1e0, 1.0]', False),
+]
+
+
+@pytest.mark.parametrize("doc,want", NEGZERO_UNIQUE)
+def test_unique_items_negative_zero(doc, want):
+    k = compile_schema({"uniqueItems": True},
+                       config=CompileConfig(dialect="draft7"))
+    assert k.validate_json(doc)[0] is want
+
+
+@pytest.mark.parametrize("schema,doc", [
+    ({"const": 0.0}, "-0.0"), ({"const": -0.0}, "0.0"),
+    ({"enum": [-0.0]}, "0.0"),
+])
+def test_const_enum_zero_sign_insensitive(schema, doc):
+    k = compile_schema(schema, config=CompileConfig(dialect="draft7"))
+    assert k.validate_json(doc)[0] is True
+
+
+def test_double_canonical_zero_sign_not_cache_poisoned():
+    """±0.0 collide under lru_cache's ==/hash keying; the sign must
+    survive regardless of which zero is seen first."""
+    from decimal import Decimal
+    assert str(double_canonical("-0.0")) == "-0.0"
+    assert str(double_canonical("0.0")) == "0.0"
+    assert double_canonical("-0.0").is_signed()
+    assert not double_canonical("0.0").is_signed()
