@@ -42,6 +42,8 @@ from json_schema_spark.operators.incremental import (
     incremental_validate,
 )
 from json_schema_spark.operators import text as T
+from json_schema_spark.operators import repetition as REP
+from json_schema_spark.operators import decontaminate as DC
 
 # --------------------------------------------------------------- schemas
 
@@ -657,6 +659,33 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(_tp(spark, sf_dir, "documents")).select("doc_id", "fp_sha256")
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals + the table-A1 keep/drop verdict
+    (`operators/repetition.py`): one codegen'd projection, zero
+    shuffle/Python. Signals rounded to 6 dp for the hash compare; the
+    keep verdict is computed on the UNROUNDED signals (both engines)."""
+    feat = REP.repetition_features(_tp(spark, sf_dir, "documents"))
+    keep = F.lit(True)
+    for name, limit in REP.GOPHER_THRESHOLDS.items():
+        keep = keep & (F.col(name) <= F.lit(limit))
+    return feat.select(
+        "doc_id",
+        *[F.round(F.col(k), 6).alias(k) for k in REP.GOPHER_THRESHOLDS],
+        keep.alias("gopher_keep"),
+    )
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination (`operators/decontaminate.py`):
+    held-out set = documents with doc_id % 37 == 0 (a deterministic
+    stand-in eval suite), word 5-grams, broadcast semi-join — the
+    corpus side never shuffles."""
+    docs = _tp(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    out = DC.decontaminate(docs, bench, n=5)
+    return out.select("doc_id", "contaminated", "n_contaminated_grams")
+
+
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing under the driver's correctness gate: binary
     image column synthesized from doc ids (sha256-derived bytes), then
@@ -890,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall_embeddings": _q_ivf_recall,
         "partition_ledger_documents": _q_partition_ledger,
         "text_stats_documents": _q_text_stats,
+        "repetition_stats_documents": _q_repetition,
+        "decontaminate_documents": _q_decontaminate,
         "language_id_documents": _q_lang_id,
         "fingerprint_documents": _q_fingerprint,
         "image_features_documents": _q_image_features,
@@ -897,6 +928,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_features_documents": _q_video_features,
         "agg_pricing_summary": _q_agg_pricing,
     }
+
+
+def _repetition_oracle_sql(norm: str) -> str:
+    """DuckDB replica of :func:`operators.repetition.repetition_features`
+    + the Gopher keep verdict. Same definitions, different plan: the
+    Spark side length-scans a sorted gram array in-row; DuckDB counts
+    each distinct gram with nested list lambdas (O(n^2) per doc — the
+    oracle small-side). NULL text coalesces to '' (identical outputs:
+    the Spark side null-propagates every signal to the same 0.0)."""
+    from json_schema_spark.operators.repetition import GOPHER_THRESHOLDS
+
+    gram_lists = ", ".join(
+        f"CASE WHEN len(ws) >= {k} THEN list_transform("
+        f"range(1, len(ws)-{k}+2), "
+        f"i -> array_to_string(list_slice(ws, i, i+{k}-1), ' ')) "
+        f"ELSE [] END AS g{k}"
+        for k in range(2, 11))
+    top_fracs = ", ".join(
+        f"CASE WHEN n_norm > 0 THEN coalesce(list_max(list_transform("
+        f"list_distinct(g{k}), g -> len(list_filter(g{k}, x -> x = g)) * "
+        f"length(g))), 0) / n_norm ELSE 0.0 END AS top_{k}gram_char_frac"
+        for k in (2, 3, 4))
+    dup_fracs = ", ".join(
+        f"CASE WHEN n_norm > 0 THEN coalesce(list_sum(list_transform("
+        f"list_distinct(g{k}), g -> (len(list_filter(g{k}, x -> x = g)) - 1) * "
+        f"length(g))), 0) / n_norm ELSE 0.0 END AS dup_{k}gram_char_frac"
+        for k in range(5, 11))
+    rounded = ", ".join(f"round({name}, 6) AS {name}" for name in GOPHER_THRESHOLDS)
+    keep = " AND ".join(f"{name} <= {limit}"
+                        for name, limit in GOPHER_THRESHOLDS.items())
+    return f"""
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        base AS (
+          SELECT doc_id,
+                 string_split(text, chr(10)) AS ls,
+                 length({norm}) AS n_norm,
+                 list_filter(string_split({norm}, ' '), w -> length(w) > 0) AS ws
+          FROM d),
+        lines AS (
+          SELECT doc_id, n_norm, ws,
+                 len(ls) AS n_lines,
+                 len(list_distinct(ls)) AS n_dlines,
+                 coalesce(list_sum(list_transform(ls, x -> length(x))), 0) AS lc,
+                 coalesce(list_sum(list_transform(list_distinct(ls),
+                                                  x -> length(x))), 0) AS dlc
+          FROM base),
+        grams AS (SELECT doc_id, n_norm, n_lines, n_dlines, lc, dlc, {gram_lists}
+                  FROM lines),
+        f AS (
+          SELECT doc_id,
+                 CASE WHEN n_lines > 0 THEN (n_lines - n_dlines) / n_lines
+                      ELSE 0.0 END AS dup_line_frac,
+                 CASE WHEN lc > 0 THEN (lc - dlc) / lc ELSE 0.0 END
+                   AS dup_line_char_frac,
+                 {top_fracs},
+                 {dup_fracs}
+          FROM grams)
+        SELECT doc_id, {rounded}, ({keep}) AS gopher_keep FROM f
+    """
+
+
+def _decontaminate_oracle_sql(norm: str) -> str:
+    """DuckDB replica of :func:`operators.decontaminate.decontaminate`
+    (flag mode) with bench = documents where doc_id % 37 == 0, word
+    5-grams over the normalized text (per-doc distinct grams)."""
+    return f"""
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        w AS (SELECT doc_id,
+                     list_filter(string_split({norm}, ' '),
+                                 w -> length(w) > 0) AS ws FROM d),
+        g AS (SELECT doc_id,
+                     CASE WHEN len(ws) >= 5
+                          THEN list_distinct(list_transform(
+                            range(1, len(ws)-5+2),
+                            i -> array_to_string(list_slice(ws, i, i+4), ' ')))
+                          ELSE [] END AS gs FROM w),
+        bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 37 = 0),
+        dg AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+        hits AS (SELECT doc_id, count(*)::BIGINT AS c
+                 FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+        SELECT d.doc_id,
+               (hits.doc_id IS NOT NULL) AS contaminated,
+               coalesce(hits.c, 0)::BIGINT AS n_contaminated_grams
+        FROM d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    """
 
 
 def _minhash_oph_oracle_sql(norm: str) -> str:
@@ -1789,6 +1905,8 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS stopword_ratio
             FROM tok
         """,
+        "repetition_stats_documents": _repetition_oracle_sql(norm),
+        "decontaminate_documents": _decontaminate_oracle_sql(norm),
         "fingerprint_documents": f"SELECT doc_id, sha256({norm}) AS fp_sha256 FROM documents",
         "language_id_documents": _lang_id_oracle_sql(norm),
         "minhash_oph_documents": _minhash_oph_oracle_sql(norm),

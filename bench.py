@@ -53,6 +53,8 @@ HEADLINE = [
     "ann_topk_embeddings",
     "ivf_topk_embeddings",
     "text_stats_documents",
+    "repetition_stats_documents",
+    "decontaminate_documents",
     "agg_pricing_summary",
     # Arrow-batched mapInPandas multimodal kernels (fake-decode mode,
     # DuckDB-oracle-paired): the measured Python-path baseline.

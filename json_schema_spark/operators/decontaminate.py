@@ -1,0 +1,96 @@
+"""Benchmark decontamination: flag/remove training documents that
+share a word n-gram with a held-out evaluation set (the GPT-3 /
+Llama-style exact n-gram overlap rule; open pipelines like Dolma and
+the HELM contamination audits use the same shape, typically n=8..13).
+
+Scale shape: the benchmark side collapses to a DISTINCT set of
+n-grams — small relative to the corpus (eval suites are MBs, corpora
+are TBs) — so the join is a **broadcast** semi/left join: the 100 TB
+side is scanned once, grams are generated in-row (explode), and no
+corpus shuffle exists anywhere. The only aggregation is over MATCHED
+rows (contaminated grams per doc), which is dup-rate-proportional,
+not corpus-proportional. ``mode='remove'`` short-circuits to a
+broadcast anti-join on doc ids.
+
+Grams are over ``normalize_text`` word tokens (lowercase, collapsed
+whitespace), matching :mod:`.repetition`'s convention, so the DuckDB
+oracle replays byte-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import normalize_text
+
+__all__ = ["benchmark_ngrams", "decontaminate"]
+
+
+def _gram_col(text_col, n: int) -> F.Column:
+    words = F.filter(F.split(normalize_text(text_col), " "),
+                     lambda w: F.length(w) > 0)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    # explicit guard: sequence(0, negative) counts DOWN in Spark
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def benchmark_ngrams(bench: DataFrame, text_col: str = "text",
+                     n: int = 13) -> DataFrame:
+    """Distinct word n-grams of the evaluation set: one `gram` column.
+    Distinct happens BEFORE the join so the broadcast side is minimal."""
+    return (bench
+            .select(F.explode(_gram_col(F.col(text_col), n)).alias("gram"))
+            .distinct())
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    mode: str = "flag",
+    broadcast_hits: bool = True,
+) -> DataFrame:
+    """Exact n-gram decontamination of ``docs`` against ``bench``.
+
+    ``mode='flag'``: returns ``docs`` + ``contaminated`` (bool) +
+    ``n_contaminated_grams`` (distinct benchmark grams hit, long).
+    ``mode='remove'``: returns only clean rows, input schema intact.
+
+    ``broadcast_hits`` (default): the per-doc hit frame — bounded by
+    the number of CONTAMINATED docs, not the corpus — is broadcast
+    into the final join, so the corpus is never shuffled anywhere in
+    the plan. Set False only if the contaminated set itself outgrows
+    broadcast (pathologically overlapping benchmark), trading a
+    corpus-wide shuffle for it.
+    """
+    if mode not in ("flag", "remove"):
+        raise ValueError(f"mode must be 'flag' or 'remove', got {mode!r}")
+    grams = F.broadcast(benchmark_ngrams(bench, bench_text_col, n))
+    # per-doc dedup happens IN-ROW (array_distinct before explode):
+    # "distinct grams hit" needs no corpus-wide distinct shuffle
+    doc_grams = docs.select(
+        F.col(id_col).alias("__did"),
+        F.explode(F.array_distinct(_gram_col(F.col(text_col), n))).alias("gram"),
+    )
+    hits = (doc_grams.join(grams, "gram")
+            .groupBy("__did")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated_grams")))
+    if broadcast_hits:
+        hits = F.broadcast(hits)
+    if mode == "remove":
+        return docs.join(hits.select(F.col("__did").alias(id_col)),
+                         on=id_col, how="left_anti")
+    joined = docs.join(hits, docs[id_col] == hits["__did"], "left")
+    return joined.select(
+        *[docs[c] for c in docs.columns],
+        F.col("n_contaminated_grams").isNotNull().alias("contaminated"),
+        F.coalesce(F.col("n_contaminated_grams"), F.lit(0).cast("long"))
+         .alias("n_contaminated_grams"),
+    )

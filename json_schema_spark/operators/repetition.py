@@ -1,0 +1,196 @@
+"""Gopher-style repetition signals: duplicate-line fractions and
+repeated-n-gram character fractions per document, plus the standard
+threshold filter built on them (Rae et al. 2021, "Scaling Language
+Models: ... Gopher", table A1 — the MassiveText repetition rules that
+most open pipelines — Dolma, RedPajama, RefinedWeb — reimplement).
+
+Scale shape: every signal is computed *inside the document row* with
+Column higher-order functions — split / array_sort / aggregate — so
+the whole operator is one codegen'd projection: zero shuffle, zero
+Python, embarrassingly parallel at 10^12 docs, and composes with
+partition pruning and Structured Streaming untouched (stateless
+per-row map). The per-doc n-gram mode is found by sorting the gram
+array and length-scanning equal runs (O(n log n) per doc) instead of
+exploding to a (doc, gram) shuffle — at 100 TB the explode would
+shuffle ~9x the corpus (one per gram size); the in-row scan shuffles
+nothing.
+
+Definitions (documented because conventions differ across pipelines;
+the DuckDB oracle in ``__spark_entry__`` replays these exactly via an
+explode + GROUP BY formulation — same numbers, different plan):
+
+* ``dup_line_frac``      = (#lines - #distinct lines) / #lines
+* ``dup_line_char_frac`` = chars in line occurrences AFTER the first
+  (sum of all line lengths - sum of distinct line lengths) / total
+  line chars
+* ``top_{k}gram_char_frac`` = count(most frequent word k-gram) *
+  len(that gram, spaces included) / chars of the normalized text
+* ``dup_{k}gram_char_frac`` = sum over k-grams seen c>1 times of
+  (c-1) * len(gram) / chars of the normalized text (the common
+  non-overlap-corrected approximation)
+
+Word grams are over ``normalize_text`` (lowercase, collapsed
+whitespace) tokens; line stats are over the RAW text split on \\n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import normalize_text
+
+__all__ = [
+    "repetition_features",
+    "gopher_repetition_filter",
+    "GOPHER_THRESHOLDS",
+]
+
+# Gopher table A1 thresholds: a doc is removed when the signal EXCEEDS
+# the value. (dup-line rules use fraction-of-lines / fraction-of-chars;
+# top-gram rules 2..4; dup-gram rules 5..10.)
+GOPHER_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def _run_scan(sorted_grams: F.Column) -> F.Column:
+    """One linear pass over a SORTED gram array returning
+    struct(top_chars long, dup_chars long): top_chars = max over
+    distinct grams of count*len, dup_chars = sum of (count-1)*len.
+
+    The accumulator carries (prev gram, run length, best, dup); each
+    step either extends the current equal-run or closes it into the
+    two totals; the finish lambda closes the last run.
+    """
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def close(acc):
+        # totals as if the open run ended here
+        chars = acc.run * F.length(acc.prev)
+        best = F.greatest(acc.best, chars)
+        dup = acc.dup + F.when(acc.run > 1, (acc.run - 1) * F.length(acc.prev)) \
+                         .otherwise(F.lit(0))
+        return best.cast("long"), dup.cast("long")
+
+    def step(acc, g):
+        best_c, dup_c = close(acc)
+        return F.when(
+            acc.prev.isNull() | (acc.prev != g),
+            F.struct(
+                g.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                F.when(acc.prev.isNull(), acc.best).otherwise(best_c).alias("best"),
+                F.when(acc.prev.isNull(), acc.dup).otherwise(dup_c).alias("dup"),
+            ),
+        ).otherwise(
+            F.struct(
+                acc.prev.alias("prev"),
+                (acc.run + 1).cast("long").alias("run"),
+                acc.best.alias("best"),
+                acc.dup.alias("dup"),
+            )
+        )
+
+    def finish(acc):
+        best_c, dup_c = close(acc)
+        return F.when(
+            acc.prev.isNull(),
+            F.struct(F.lit(0).cast("long").alias("top_chars"),
+                     F.lit(0).cast("long").alias("dup_chars")),
+        ).otherwise(
+            F.struct(best_c.alias("top_chars"), dup_c.alias("dup_chars"))
+        )
+
+    return F.aggregate(sorted_grams, zero, step, finish)
+
+
+def _word_grams(words: F.Column, k: int) -> F.Column:
+    """Space-joined word k-grams; empty array when the doc has < k
+    words (explicit guard: Spark's sequence(0, negative) would count
+    DOWN, not return empty)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - k),
+        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+    )
+    return F.when(F.size(words) >= k, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ngram_sizes: tuple[int, ...] = (2, 3, 4),
+    dup_ngram_sizes: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Append the Gopher repetition signals as double columns
+    (see module docstring for exact definitions). One codegen'd
+    projection — no shuffle, no Python."""
+    raw = F.col(text_col)
+    lines = F.split(raw, "\n")
+    n_lines = F.size(lines)
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
+    dlines = F.array_distinct(lines)
+    dline_chars = F.aggregate(
+        dlines, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
+
+    norm = normalize_text(raw)
+    n_norm = F.length(norm)
+    words = F.filter(F.split(norm, " "), lambda w: F.length(w) > 0)
+
+    def frac(num, den) -> F.Column:
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    cols: dict[str, F.Column] = {
+        "dup_line_frac": frac(n_lines - F.size(dlines), n_lines),
+        "dup_line_char_frac": frac(line_chars - dline_chars, line_chars),
+    }
+    for k in top_ngram_sizes:
+        scan = _run_scan(F.array_sort(_word_grams(words, k)))
+        cols[f"top_{k}gram_char_frac"] = frac(scan.top_chars, n_norm)
+    for k in dup_ngram_sizes:
+        scan = _run_scan(F.array_sort(_word_grams(words, k)))
+        cols[f"dup_{k}gram_char_frac"] = frac(scan.dup_chars, n_norm)
+    return df.withColumns(cols)
+
+
+def gopher_repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: dict[str, float] | None = None,
+    keep_signals: bool = False,
+) -> DataFrame:
+    """Drop documents exceeding any Gopher repetition threshold.
+    ``thresholds`` defaults to :data:`GOPHER_THRESHOLDS`; pass a
+    subset to relax. With ``keep_signals`` the signal columns stay on
+    the surviving rows (otherwise the input schema is preserved)."""
+    th = GOPHER_THRESHOLDS if thresholds is None else thresholds
+    top = tuple(sorted(int(k.split("_")[1][:-4]) for k in th
+                       if k.startswith("top_")))
+    dup = tuple(sorted(int(k.split("_")[1][:-4]) for k in th
+                       if k.startswith("dup_") and k.endswith("gram_char_frac")))
+    feat = repetition_features(
+        df, text_col=text_col, id_col=id_col,
+        top_ngram_sizes=top, dup_ngram_sizes=dup)
+    keep = F.lit(True)
+    for name, limit in th.items():
+        keep = keep & (F.col(name) <= F.lit(limit))
+    out = feat.filter(keep)
+    return out if keep_signals else out.select(*df.columns)
