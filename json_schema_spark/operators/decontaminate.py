@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .dedup import normalize_text
 
-__all__ = ["benchmark_ngrams", "decontaminate"]
+__all__ = ["benchmark_ngrams", "decontaminate", "contamination_flags"]
 
 
 def _gram_col(text_col, n: int) -> F.Column:
@@ -94,3 +94,31 @@ def decontaminate(
         F.coalesce(F.col("n_contaminated_grams"), F.lit(0).cast("long"))
          .alias("n_contaminated_grams"),
     )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    bench_grams: list[str],
+    n: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming-safe decontamination: the benchmark gram set is a
+    driver-side list embedded as an array LITERAL and matched in-row
+    via ``array_intersect`` — a stateless projection, so it drops into
+    readStream -> writeStream unchanged (the join form of
+    :func:`decontaminate` needs a streaming-illegal agg + join-back).
+    Identical outputs to flag mode. Use when the benchmark gram set
+    fits the driver (eval suites are MBs against a TB corpus); at
+    pathological benchmark sizes use the batch join form.
+
+    ``bench_grams`` comes from ``benchmark_ngrams(bench, n=n)`` —
+    e.g. ``[r.gram for r in benchmark_ngrams(bench, n=13).collect()]``.
+    """
+    lit = F.lit(list(bench_grams)) if bench_grams else \
+        F.array().cast("array<string>")
+    hit = F.array_intersect(
+        F.array_distinct(_gram_col(F.col(text_col), n)), lit)
+    return docs.withColumns({
+        "contaminated": F.size(hit) > 0,
+        "n_contaminated_grams": F.size(hit).cast("long"),
+    })

@@ -73,3 +73,37 @@ def test_split_streams(spark, doc_dir, tmp_path):
     # a row's split assignment is a pure function of (id, seed): the
     # micro-batch boundary cannot move it
     assert _rows(batch) == _rows(streamed)
+
+
+def test_repetition_signals_stream(spark, doc_dir, tmp_path):
+    from json_schema_spark.operators.repetition import repetition_features
+
+    def feats(df):
+        return repetition_features(df).select(
+            "doc_id", "dup_line_frac", "top_2gram_char_frac",
+            "dup_5gram_char_frac")
+
+    batch, streamed = _run_stream(spark, doc_dir, feats, tmp_path, "rep_s")
+    assert _rows(batch) == _rows(streamed)
+
+
+def test_contamination_flags_stream(spark, doc_dir, tmp_path):
+    """The literal-intersect decontamination variant streams; its
+    verdicts equal the batch join form row-for-row."""
+    from json_schema_spark.operators.decontaminate import (
+        benchmark_ngrams, contamination_flags, decontaminate)
+
+    docs = spark.read.parquet(doc_dir)
+    bench = docs.where("doc_id % 19 = 0")
+    grams = [r.gram for r in benchmark_ngrams(bench, n=4).collect()]
+
+    def flags(df):
+        return contamination_flags(df, grams, n=4).select(
+            "doc_id", "contaminated", "n_contaminated_grams")
+
+    batch, streamed = _run_stream(spark, doc_dir, flags, tmp_path, "dc_s")
+    assert _rows(batch) == _rows(streamed)
+    join_form = decontaminate(docs, bench, n=4).select(
+        "doc_id", "contaminated", "n_contaminated_grams")
+    assert _rows(join_form) == _rows(streamed)
+    assert any(r.contaminated for r in streamed.collect())
