@@ -1263,6 +1263,8 @@ class VariantCompiler(_BaseCompiler):
         is needed)."""
         if s is True or s == {}:
             return True
+        if s is False:
+            return False  # false schema ALWAYS fails — never commits
         if not isinstance(s, dict):
             return True  # non-schema node compiles to always-OK
         for k, v in s.items():

@@ -34,6 +34,7 @@ def build(tmp: pathlib.Path):
     def run_plain(cases):
         return run(cases)  # verdict-only (kinds stripped by default)
 
+    run_plain.with_kinds = lambda cases: run(cases, kinds=True)
     return run_plain
 
 
@@ -145,6 +146,51 @@ def sweep_scalar_functions(run, seeds):
     return total, mismatches
 
 
+def sweep_messages(run, seeds):
+    """Rendered (kind, pointer, message) triples on failing cases:
+    every triple the reference emits must appear among the kernel's
+    violations (subset gate, same as tests/test_error_messages.py —
+    our extra applicator-context entries are by design). Fresh-seed
+    ritual for the MessageFormat/Double.toString rendering layer."""
+    from json_schema_spark.core.errors import error_kind_of
+
+    total = mismatches = 0
+    for seed in seeds:
+        for draft in ("draft7", "2019-09", "2020-12"):
+            rng = random.Random(f"msg-sweep-{draft}-{seed}")
+            cases, kernels = [], []
+            for _ in range(150):
+                sch = gen.schema(rng, draft, top=True)
+                try:
+                    kernel = compile_schema(sch, dialect=draft)
+                except Exception:
+                    continue
+                sj = json.dumps(sch)
+                docs = [gen.value(rng) for _ in range(2)]
+                t = gen.targeted_value(rng, sch)
+                docs += [t, gen.mutate(rng, t, n_edits=1)]
+                for doc in docs:
+                    cases.append((sj, json.dumps(doc), draft, False))
+                    kernels.append((kernel, sch, doc))
+            verdicts = run.with_kinds(cases)
+            for (kernel, sch, doc), got in zip(kernels, verdicts):
+                if not got.startswith("f:"):
+                    continue
+                ok, errs = kernel.validate(doc)
+                if ok:
+                    continue  # verdict parity is sweep_verdicts' job
+                total += 1
+                ref_triples = R._ref_triples(got)
+                mine = {(error_kind_of(kw, msg).name, path, msg)
+                        for path, kw, msg in (errs or [])}
+                if not ref_triples <= mine:
+                    mismatches += 1
+                    print("MESSAGE-MISMATCH", json.dumps(sch),
+                          json.dumps(doc), "missing:",
+                          sorted(ref_triples - mine)[:3])
+    return total, mismatches
+
+
 def sweep_compile(run, seeds):
     total = mismatches = 0
     bad_values = [None, True, -1, 0.5, "x", [], {}, [1, 1], ["a", "a"],
@@ -193,8 +239,10 @@ def main():
         print(f"targeted-instances: {t4} compared, {m4} mismatches")
         t5, m5 = sweep_scalar_functions(run, seeds[: max(2, n // 4)])
         print(f"formats+content: {t5} compared, {m5} mismatches")
-        total_m = m1 + m2 + m3 + m4 + m5
-        print(f"TOTAL: {t1 + t2 + t3 + t4 + t5} comparisons, "
+        t6, m6 = sweep_messages(run, seeds[: max(2, n // 2)])
+        print(f"message-triples: {t6} compared, {m6} mismatches")
+        total_m = m1 + m2 + m3 + m4 + m5 + m6
+        print(f"TOTAL: {t1 + t2 + t3 + t4 + t5 + t6} comparisons, "
               f"{total_m} mismatches")
         sys.exit(1 if total_m else 0)
 

@@ -238,6 +238,28 @@ TARGETED_2020 = [
      ['["a",1]', '["a"]']),
     ({"prefixItems": [{"type": "integer"}], "items": {"minimum": 2}},
      ['["x",1,3]', "[1,5]"]),
+    # regression (fresh-seed sweep): a FALSE subschema inside a
+    # contributing allOf member is NOT infallible coverage — the member
+    # fails at runtime, its annotations drop, and unevaluated* must
+    # re-validate (kernel emits the wrapper + sub entries; the
+    # _infallible_cov shortcut used to swallow the whole check)
+    ({"allOf": [{"properties": {"c": False}, "additionalProperties": True}],
+      "unevaluatedProperties": {"type": "integer"}},
+     ['{"c":"abc"}', '{"c":1,"d":"x"}', '{"d":5}']),
+    ({"allOf": [{"prefixItems": [False, True], "items": False}],
+      "unevaluatedItems": False},
+     ['[5,"ab"]', "[]"]),
+]
+
+# same regression, 2019-09 array-form items (prefixItems is an
+# UNKNOWN keyword there — coverage comes from items:false alone)
+TARGETED_2019 = [
+    ({"allOf": [{"prefixItems": [False, True], "items": False}],
+      "unevaluatedItems": False},
+     ['[5,"ab"]', "[1]"]),
+    ({"allOf": [{"items": [False], "additionalItems": False}],
+      "unevaluatedItems": {"type": "string"}},
+     ['[5,6]', '["a"]']),
 ]
 
 
@@ -249,6 +271,11 @@ def test_targeted_draft7(spark):
 def test_targeted_2020(spark):
     n = _compare(spark, TARGETED_2020, "2020-12")
     assert n >= 6
+
+
+def test_targeted_2019(spark):
+    n = _compare(spark, TARGETED_2019, "2019-09")
+    assert n >= 3
 
 
 # ------------------------------------------------------------------- fuzz
