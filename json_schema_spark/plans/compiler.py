@@ -1502,6 +1502,22 @@ class VariantCompiler(_BaseCompiler):
         checks = self.compile(sub, el, base_path + (token,))
         prefix = self._ptr(base_path + (token,))
         plen = len(prefix)
+
+        def rebase_msg(m) -> Column:
+            # messages can EMBED the check's pointer (uniqueItems
+            # renders the duplicate's JSON pointer) — swap the
+            # sentinel-rendered prefix for the runtime pointer there
+            # too, not just in the entry's path field
+            if isinstance(m, str):
+                if token not in m:
+                    return F.lit(m)
+                bits = m.split(prefix)
+                out: list[Column] = [F.lit(bits[0])]
+                for b in bits[1:]:
+                    out += [ptr, F.lit(b)]
+                return F.concat(*out)
+            return F.replace(m, F.lit(prefix), ptr)
+
         parts: list[Column] = []
         static = []
         for c in checks:
@@ -1511,8 +1527,7 @@ class VariantCompiler(_BaseCompiler):
             pcol = F.concat(ptr, F.lit(suffix)) if suffix else ptr
             static.append(F.when(c.fail, F.struct(
                 pcol.alias("path"), F.lit(c.keyword).alias("keyword"),
-                (F.lit(c.message) if isinstance(c.message, str)
-                 else c.message).alias("message"))))
+                rebase_msg(c.message).alias("message"))))
         if static:
             parts.append(F.filter(F.array(*static), lambda x: x.isNotNull()))
         for c in checks:
@@ -1521,7 +1536,8 @@ class VariantCompiler(_BaseCompiler):
                     F.concat(ptr, F.substring(e["path"], plen + 1, 2147483647))
                      .alias("path"),
                     e["keyword"].alias("keyword"),
-                    e["message"].alias("message"))))
+                    F.replace(e["message"], F.lit(prefix), ptr)
+                     .alias("message"))))
         if not parts:
             ent = _empty_viols()
         else:

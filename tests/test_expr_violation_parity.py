@@ -249,6 +249,15 @@ TARGETED_2020 = [
     ({"allOf": [{"prefixItems": [False, True], "items": False}],
       "unevaluatedItems": False},
      ['[5,"ab"]', "[]"]),
+    # regression (fresh-seed sweep): a message that EMBEDS the check's
+    # pointer (uniqueItems renders the duplicate's JSON pointer) must
+    # have the runtime prefix substituted inside the TEXT too when the
+    # check compiles under a runtime-keyed context (additionalProperties
+    # re-validation here) — not just in the entry's path field
+    ({"additionalProperties": {"uniqueItems": True}},
+     ['{"k":[1,2,1]}', '{"x":["a","a"],"y":[true,true]}']),
+    ({"patternProperties": {"^a": {"uniqueItems": True}}},
+     ['{"ab":[[1],[1]]}']),
 ]
 
 # same regression, 2019-09 array-form items (prefixItems is an
