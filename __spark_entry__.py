@@ -481,6 +481,31 @@ def _q_prepare_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("redacted"), 256).alias("redacted_sha"))
 
 
+def _q_prepare_training_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL modern corpus-assembly recipe, extending the v1
+    composition with the round-4 stages: exact dedup -> Gopher
+    repetition filter (all table-A1 thresholds) -> quality + language
+    gating -> benchmark n-gram decontamination (remove mode, held-out
+    set = documents with doc_id % 37 == 0) -> PII redaction -> stable
+    splits. One DuckDB oracle replays the whole composition; v1 stays
+    untouched for cross-session bench comparability."""
+    docs = _t(spark, sf_dir, "documents")
+    deduped = D.dedup_keep_first(docs)
+    rep = REP.gopher_repetition_filter(deduped)
+    scored = T.lang_id(T.quality_score(rep))
+    kept = scored.where(
+        (F.col("quality_score") >= 0.5)
+        & F.col("lang_pred").isin("en", "de", "es", "fr")
+        & (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 5000))
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    clean = DC.decontaminate(kept, bench, n=5, mode="remove")
+    red = P.redact_pii(clean)
+    out = SMP.train_valid_test_split(red, (0.9, 0.05, 0.05), seed=13)
+    return out.select(
+        "doc_id", "lang_pred", "split", "quality_score",
+        F.sha2(F.col("redacted"), 256).alias("redacted_sha"))
+
+
 def _q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus assembly (operators/sampling.py): rebalance
     languages with per-stratum sha256-hash sampling (keep all en, half
@@ -909,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_documents": _q_pii_scrub,
         "sample_split_documents": _q_sample_split,
         "prepare_training_data": _q_prepare_training_data,
+        "prepare_training_data_v2": _q_prepare_training_v2,
         "chunk_chars_documents": _q_chunk_chars,
         "chunk_tokens_documents": _q_chunk_tokens,
         "minhash_oph_documents": _q_minhash_oph,
@@ -930,13 +956,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _repetition_oracle_sql(norm: str) -> str:
+def _repetition_oracle_sql(norm: str, src: str = "documents") -> str:
     """DuckDB replica of :func:`operators.repetition.repetition_features`
     + the Gopher keep verdict. Same definitions, different plan: the
     Spark side length-scans a sorted gram array in-row; DuckDB counts
     each distinct gram with nested list lambdas (O(n^2) per doc — the
     oracle small-side). NULL text coalesces to '' (identical outputs:
-    the Spark side null-propagates every signal to the same 0.0)."""
+    the Spark side null-propagates every signal to the same 0.0).
+    ``src``: any relation with (doc_id, text) — lets the composed-
+    pipeline oracle run the same chain over an intermediate CTE."""
     from json_schema_spark.operators.repetition import GOPHER_THRESHOLDS
 
     gram_lists = ", ".join(
@@ -959,7 +987,7 @@ def _repetition_oracle_sql(norm: str) -> str:
     keep = " AND ".join(f"{name} <= {limit}"
                         for name, limit in GOPHER_THRESHOLDS.items())
     return f"""
-        WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM {src}),
         base AS (
           SELECT doc_id,
                  string_split(text, chr(10)) AS ls,
@@ -1238,6 +1266,107 @@ def _prepare_training_oracle_sql(norm: str) -> str:
             SELECT doc_id, lang_pred, quality_score, {red} AS redacted,
                    substring(sha256(doc_id::VARCHAR || ':13'), 1, 8) AS s8
             FROM kept
+        )
+        SELECT doc_id, lang_pred,
+               CASE WHEN ({horner})::DOUBLE / 4294967296.0 < 0.9 THEN 'train'
+                    WHEN ({horner})::DOUBLE / 4294967296.0 < 0.95 THEN 'valid'
+                    ELSE 'test' END AS split,
+               quality_score,
+               sha256(redacted) AS redacted_sha
+        FROM split
+    """
+
+
+def _prepare_training_v2_oracle_sql(norm: str) -> str:
+    """DuckDB replica of the v2 composition: v1's chain with the Gopher
+    repetition filter spliced in after dedup (the parameterized
+    repetition oracle runs over the deduped CTE) and benchmark 5-gram
+    decontamination (remove mode) spliced in after the quality gate."""
+    from json_schema_spark.operators.pii import PII_PATTERNS
+    from json_schema_spark.operators.text import STOPWORDS
+
+    red = "coalesce(text, '')"
+    for kind, pat in PII_PATTERNS.items():
+        esc = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{esc}', '[PII:{kind}]', 'g')"
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    horner = "CAST(0 AS BIGINT)"
+    for d in range(8):
+        horner = (f"(({horner}) * 16 + "
+                  f"(strpos('0123456789abcdef', substring(s8, {d + 1}, 1)) - 1))")
+    lang = _lang_id_oracle_sql(norm)
+    rep = _repetition_oracle_sql(norm, src="d0")
+    return f"""
+        WITH keepers AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256({norm})
+        ),
+        d0 AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM keepers)
+        ),
+        rep AS ({rep}),
+        d AS (
+            SELECT doc_id, text, {norm} AS nt FROM d0
+            WHERE doc_id IN (SELECT doc_id FROM rep WHERE gopher_keep)
+        ),
+        feat AS (
+            SELECT doc_id, text,
+                   length(text) AS n_chars,
+                   CASE WHEN length(nt) = 0 THEN 0
+                        ELSE len(string_split(nt, ' ')) END AS toks,
+                   len(list_filter(string_split(nt, ' '),
+                                   w -> w IN ({sw}))) AS sw_hits,
+                   length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS punct,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+            FROM d
+        ),
+        ratios AS (
+            SELECT *,
+                   CASE WHEN toks > 0 THEN n_chars / toks ELSE 0.0 END AS mwl,
+                   CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS pr,
+                   CASE WHEN n_chars > 0 THEN digits / n_chars ELSE 0.0 END AS dr,
+                   CASE WHEN toks > 0 THEN sw_hits / toks ELSE 0.0 END AS swr
+            FROM feat
+        ),
+        scored AS (
+            SELECT doc_id, text, toks,
+                   round((least(n_chars / 200.0, 1.0)
+                          * (CASE WHEN n_chars > 20000 THEN 0.5 ELSE 1.0 END)) * 0.3
+                         + (CASE WHEN mwl >= 3 AND mwl <= 12
+                                 THEN 1.0 ELSE 0.4 END) * 0.2
+                         + greatest(0.0, 1.0 - 2.0 * pr - dr) * 0.3
+                         + least(1.0, 0.3 + 2.0 * swr) * 0.2, 6) AS quality_score
+            FROM ratios
+        ),
+        lang AS ({lang}),
+        kept AS (
+            SELECT s.doc_id, s.text, l.lang_pred, s.quality_score
+            FROM scored s JOIN lang l ON l.doc_id = s.doc_id
+            WHERE s.quality_score >= 0.5
+              AND l.lang_pred IN ('en', 'de', 'es', 'fr')
+              AND s.toks BETWEEN 5 AND 5000
+        ),
+        gw AS (SELECT doc_id,
+                      list_filter(string_split({norm}, ' '),
+                                  w -> length(w) > 0) AS ws
+               FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
+        gg AS (SELECT doc_id,
+                      CASE WHEN len(ws) >= 5
+                           THEN list_distinct(list_transform(
+                             range(1, len(ws)-5+2),
+                             i -> array_to_string(list_slice(ws, i, i+4), ' ')))
+                           ELSE [] END AS gs FROM gw),
+        bg AS (SELECT DISTINCT unnest(gs) AS gram FROM gg WHERE doc_id % 37 = 0),
+        hits AS (SELECT DISTINCT g.doc_id
+                 FROM (SELECT doc_id, unnest(gs) AS gram FROM gg) g
+                 JOIN bg USING (gram)),
+        clean AS (
+            SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+        ),
+        split AS (
+            SELECT doc_id, lang_pred, quality_score, {red} AS redacted,
+                   substring(sha256(doc_id::VARCHAR || ':13'), 1, 8) AS s8
+            FROM clean
         )
         SELECT doc_id, lang_pred,
                CASE WHEN ({horner})::DOUBLE / 4294967296.0 < 0.9 THEN 'train'
@@ -1916,6 +2045,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub_documents": _pii_oracle_sql(),
         "sample_split_documents": _sample_split_oracle_sql(),
         "prepare_training_data": _prepare_training_oracle_sql(norm),
+        "prepare_training_data_v2": _prepare_training_v2_oracle_sql(norm),
         "chunk_chars_documents": _chunk_oracle_sql(200, 150, "chars"),
         "chunk_tokens_documents": _chunk_oracle_sql(32, 24, "tokens"),
         "simhash_documents": _simhash_oracle_sql(norm),

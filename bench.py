@@ -67,6 +67,7 @@ HEADLINE = [
     "chunk_chars_documents",
     "sample_split_documents",
     "prepare_training_data",
+    "prepare_training_data_v2",
 ]
 
 

@@ -193,3 +193,20 @@ def test_prepare_training_pipeline_single_dedup_exchange(spark):
     assert n_exchange <= 3, f"{n_exchange} exchanges:\n{plan[:4000]}"
     assert "BroadcastExchange" not in plan or plan.count("BroadcastExchange") <= 1
 
+
+
+def test_prepare_training_v2_no_extra_corpus_shuffle(spark):
+    """The v2 composition adds the Gopher repetition filter (pure
+    projection — must add ZERO exchanges) and benchmark decontamination
+    (broadcast-only: benchmark gram distinct + matched-rows aggregate
+    may shuffle, the corpus may not). Budget: the v1 dedup exchanges
+    plus at most two slim decontamination exchanges; still no Python
+    anywhere."""
+    import __spark_entry__ as E
+
+    df = E.queries()["prepare_training_data_v2"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Python" not in plan and "ArrowEval" not in plan
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 5, f"{n_exchange} exchanges:\n{plan[:4000]}"
+    assert "BroadcastHashJoin" in plan  # decontamination joins broadcast
