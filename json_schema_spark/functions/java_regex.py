@@ -518,6 +518,22 @@ class _Translator:
                     # Java ("[a-[b]]" compiles — probed, round 4)
                 bits.append(_esc(val))
             elif kind == "dash":
+                # a dash can START a range too: Java parses "[--X]" as
+                # the range '-'..X — "[--/]" compiles, "[--%]" is an
+                # illegal (descending) range (fresh-seed fuzz, round 4).
+                # Same shape as the char case: dash + dash + member.
+                nxt = toks[k + 1][0] if k + 1 < len(toks) else None
+                nxt2 = toks[k + 2] if k + 2 < len(toks) else None
+                if nxt == "dash" and nxt2 is not None:
+                    if nxt2[0] in ("char", "dash"):
+                        hi = nxt2[1] if nxt2[0] == "char" else 0x2D
+                        if 0x2D > hi:
+                            raise JavaRegexError("illegal character range")
+                        bits.append(_esc(0x2D) + "-" + _esc(hi))
+                        k += 3
+                        continue
+                    if nxt2[0] == "body":
+                        raise JavaRegexError("illegal character range (to a class)")
                 bits.append(_esc(0x2D))  # literal dash
             elif kind == "union":
                 pass  # opaque member of a conceded Java-only class

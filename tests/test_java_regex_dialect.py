@@ -119,3 +119,20 @@ def test_disabled_inline_flags_still_rewrite():
 
 def test_only_i_flag_still_rewrites():
     assert re.search(J("(?i)B$"), "b\r\n")
+
+
+def test_leading_dash_starts_a_range():
+    """Java parses a dash at a member boundary as a possible range
+    START: "[--X]" is the range '-'..X — so "[--/]" compiles and
+    "[--%]" is an illegal (descending) range. JVM-probed (round 4
+    fresh-seed fuzz found the engine accepting "[--%/]")."""
+    from json_schema_spark.functions.java_regex import JavaRegexError
+
+    assert re.search(J("[--/]"), ".")       # '-'..'/' includes '.'
+    assert re.search(J("[--a]"), "X")
+    assert re.search(J("[-a]"), "-")        # dash then non-dash: literal
+    assert re.search(J("[--]"), "-")        # dash before ]: literal
+    assert re.search(J("[----]"), "-")      # range '-'..'-' + literal
+    for bad in ("[--%/]", "[a--]", "[--\\w]", "[^--%]", "[a&&--%]"):
+        with pytest.raises(JavaRegexError):
+            J(bad)
