@@ -47,6 +47,9 @@ def benchmark_ngrams(bench: DataFrame, text_col: str = "text",
             .distinct())
 
 
+_HIT_ID = "__jss_decon_id"
+
+
 def decontaminate(
     docs: DataFrame,
     bench: DataFrame,
@@ -56,6 +59,7 @@ def decontaminate(
     bench_text_col: str = "text",
     mode: str = "flag",
     broadcast_hits: bool = True,
+    gram_source: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram decontamination of ``docs`` against ``bench``.
 
@@ -69,25 +73,45 @@ def decontaminate(
     the plan. Set False only if the contaminated set itself outgrows
     broadcast (pathologically overlapping benchmark), trading a
     corpus-wide shuffle for it.
+
+    ``gram_source``: an optional cheaply-computable SUPERSET of
+    ``docs`` (same ``id_col``/``text_col``, every (id, text) pair of
+    ``docs`` present identically) used to build the probe-gram side.
+    When ``docs`` sits downstream of an expensive transform (e.g. the
+    interpreted Gopher repetition filter in a composed pipeline), the
+    hit-build branch would otherwise re-evaluate that whole transform
+    a second time — the round-4 ``prepare_training_data_v2`` defect.
+    Extra ids in the superset are harmless: hits join back onto
+    ``docs`` by id, so ids absent from ``docs`` drop out (anti/left
+    join alike), and contamination is a pure function of the text.
+    Unlike a ``persist()`` of ``docs`` it costs zero memory at 100 TB.
     """
     if mode not in ("flag", "remove"):
         raise ValueError(f"mode must be 'flag' or 'remove', got {mode!r}")
+    if id_col == _HIT_ID:
+        raise ValueError(f"id_col may not be the internal alias {_HIT_ID!r}")
     grams = F.broadcast(benchmark_ngrams(bench, bench_text_col, n))
     # per-doc dedup happens IN-ROW (array_distinct before explode):
     # "distinct grams hit" needs no corpus-wide distinct shuffle
-    doc_grams = docs.select(
-        F.col(id_col).alias("__did"),
+    probe = docs if gram_source is None else gram_source
+    doc_grams = probe.select(
+        F.col(id_col).alias(_HIT_ID),
         F.explode(F.array_distinct(_gram_col(F.col(text_col), n))).alias("gram"),
     )
     hits = (doc_grams.join(grams, "gram")
-            .groupBy("__did")
+            .groupBy(_HIT_ID)
             .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated_grams")))
     if broadcast_hits:
         hits = F.broadcast(hits)
     if mode == "remove":
-        return docs.join(hits.select(F.col("__did").alias(id_col)),
+        return docs.join(hits.select(F.col(_HIT_ID).alias(id_col)),
                          on=id_col, how="left_anti")
-    joined = docs.join(hits, docs[id_col] == hits["__did"], "left")
+    # re-flagging a previously flagged frame: overwrite, don't duplicate
+    clash = [c for c in ("contaminated", "n_contaminated_grams")
+             if c in docs.columns]
+    if clash:
+        docs = docs.drop(*clash)
+    joined = docs.join(hits, docs[id_col] == hits[_HIT_ID], "left")
     return joined.select(
         *[docs[c] for c in docs.columns],
         F.col("n_contaminated_grams").isNotNull().alias("contaminated"),

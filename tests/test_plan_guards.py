@@ -195,6 +195,25 @@ def test_prepare_training_pipeline_single_dedup_exchange(spark):
 
 
 
+def test_composed_pipelines_run_parallel(spark):
+    """Round-4 "What's wrong #4": the no-shuffle guards below prove the
+    ABSENCE of corpus shuffles but accepted a ONE-task plan — exactly
+    how v2 shipped 70% of the round-4 driver bench on a single core
+    (predicate pushdown sank the interpreted Gopher filter below the
+    fan-out repartition, back onto the single-file scan partition).
+    Every composed pipeline's heavy tail stage (filter chain → redact →
+    split; no shuffle after the dedup join, so the OUTPUT partitioning
+    IS the heavy-stage partitioning) must carry >= defaultParallelism
+    partitions."""
+    import __spark_entry__ as E
+
+    want = spark.sparkContext.defaultParallelism
+    for name in ("prepare_training_data", "prepare_training_data_v2"):
+        df = E.queries()[name](spark, "/root/testdata/sf0.001")
+        got = df.rdd.getNumPartitions()
+        assert got >= want, f"{name}: heavy tail stage has {got} partition(s)"
+
+
 def test_prepare_training_v2_no_extra_corpus_shuffle(spark):
     """The v2 composition adds the Gopher repetition filter (pure
     projection — must add ZERO exchanges) and benchmark decontamination
