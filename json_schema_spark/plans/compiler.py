@@ -182,16 +182,9 @@ def msg_col(kind: str, *args) -> "str | Column":
 _SCALAR = ("string", "number", "integer", "boolean", "null")
 
 # keywords whose annotations depend on which branch succeeded at
-# runtime — in their presence the evaluated-property/item set is not
-# statically derivable and unevaluated* falls back to the UDF kernel
-_DYNAMIC_ANNOTATION_KEYWORDS = (
-    "anyOf",
-    "oneOf",
-    "if",
-    "dependentSchemas",
-    "$dynamicRef",
-    "$recursiveRef",
-)
+# runtime — under unevaluated* only their ZERO-coverage shapes stay on
+# the expression path (see _coverage_guard); anything else falls back
+# to the UDF kernel
 
 
 class _BaseCompiler:
@@ -336,11 +329,13 @@ class _BaseCompiler:
             # only on right-typed instances
             ugate = self._uneval_gate(node, val)
             if ugate is not None and any(
-                kw in node for kw in ("allOf", "not")
+                kw in node for kw in ("allOf", "not", "anyOf", "oneOf",
+                                      "if", "dependentSchemas")
             ):
-                # the rest-recursion below cannot see the absorb gate;
-                # anyOf/oneOf/if/dependentSchemas already bail via
-                # _coverage_guard on the original node
+                # the rest-recursion below cannot see the absorb gate
+                # (since round 5 the branch keywords may legitimately
+                # coexist with unevaluated* — zero-coverage shapes — so
+                # they too must bail here, not just allOf/not)
                 raise ExprUnsupported(
                     "$ref + unevaluated* + in-place applicators need the UDF kernel")
             ref_checks = self._gate_checks(ref_checks, ugate)
@@ -451,19 +446,24 @@ class _BaseCompiler:
             # kernel/reference: when every branch fails, each failing
             # branch's OWN errors surface, then the ANY_OF error
             # (AnyOfCompiler — all_errs extended before the summary)
-            for cs in branches:
-                checks.extend(_regate(c, fail_all) for c in cs)
-            checks.append(Check(fail_all, p, "anyOf", render_message("ANY_OF")))
+            any_checks = [_regate(c, fail_all) for cs in branches for c in cs]
+            any_checks.append(
+                Check(fail_all, p, "anyOf", render_message("ANY_OF")))
+            # absorbed by an unevaluated* sibling: skipped for
+            # wrong-typed instances (_UNEVAL_*_ABSORBS lists anyOf)
+            checks.extend(self._gate_checks(any_checks, ugate))
         if "oneOf" in node:
             oks = [ok_of(self.compile(s, val, path)) for s in node["oneOf"]]
             n_ok = reduce(lambda a, b: a + b, [o.cast("int") for o in oks])
             # two checks so the error KIND can distinguish the
             # reference's ONE_OF_EMPTY vs ONE_OF_MORE_THAN_ONE; branch
             # errors are DISCARDED (OneOfCompiler — results dropped)
-            checks.append(Check(_nn(self.v_present(val) & (n_ok == 0)), p, "oneOf",
-                                render_message("ONE_OF_EMPTY")))
-            checks.append(Check(_nn(self.v_present(val) & (n_ok > 1)), p, "oneOf",
-                                render_message("ONE_OF_MORE_THAN_ONE")))
+            checks.extend(self._gate_checks([
+                Check(_nn(self.v_present(val) & (n_ok == 0)), p, "oneOf",
+                      render_message("ONE_OF_EMPTY")),
+                Check(_nn(self.v_present(val) & (n_ok > 1)), p, "oneOf",
+                      render_message("ONE_OF_MORE_THAN_ONE")),
+            ], ugate))
         if "not" in node:
             sub_ok = ok_of(self.compile(node["not"], val, path))
             checks.extend(self._gate_checks(
@@ -479,14 +479,14 @@ class _BaseCompiler:
             # kernel parity (_kw_if_then_else): the taken arm's own
             # errors surface, then a synthetic then/else marker; the
             # 'if' subschema's errors are always discarded
-            for c in then_checks:
-                checks.append(_regate(c, pres & cond))
-            checks.append(Check(_nn(pres & cond & ~then_ok), p, "then",
-                                "'then' schema failed"))
-            for c in else_checks:
-                checks.append(_regate(c, pres & ~cond))
-            checks.append(Check(_nn(pres & ~cond & ~else_ok), p, "else",
-                                "'else' schema failed"))
+            ite_checks = [_regate(c, pres & cond) for c in then_checks]
+            ite_checks.append(Check(_nn(pres & cond & ~then_ok), p, "then",
+                                    "'then' schema failed"))
+            ite_checks.extend(_regate(c, pres & ~cond) for c in else_checks)
+            ite_checks.append(Check(_nn(pres & ~cond & ~else_ok), p, "else",
+                                    "'else' schema failed"))
+            # absorbed by an unevaluated* sibling (skip on wrong type)
+            checks.extend(self._gate_checks(ite_checks, ugate))
         # dependentRequired/dependentSchemas/unevaluated* are unknown
         # keywords in draft7 (ignored); dual-form "dependencies" is
         # active in every draft (reference-probe verified)
@@ -534,13 +534,19 @@ class _BaseCompiler:
             checks.append(Check(any_viol, p, "dependentRequired",
                                 msg_col("DEPENDENT_REQUIRED", joined)))
         if "dependentSchemas" in node and post7:
+            ds_checks: list[Check] = []
             for k, d in node["dependentSchemas"].items():
                 trigger = self.v_has_prop(val, k)
                 sub_checks = self.compile(d, val, path)
                 sub_ok = ok_of(sub_checks)
-                checks.extend(_regate(c, trigger) for c in sub_checks)
-                checks.append(Check(_nn(trigger & ~sub_ok), p, "dependentSchemas",
-                                    f"schema dependency on {k!r} failed"))
+                ds_checks.extend(_regate(c, trigger) for c in sub_checks)
+                ds_checks.append(Check(_nn(trigger & ~sub_ok), p, "dependentSchemas",
+                                       f"schema dependency on {k!r} failed"))
+            # absorbed by an unevaluated* sibling (skip on wrong type);
+            # dual-form draft-7 "dependencies" above is NOT absorbed
+            # (its tag is missing from both _UNEVAL_*_ABSORBS sets) and
+            # stays ungated
+            checks.extend(self._gate_checks(ds_checks, ugate))
 
         # unevaluated* — only the statically-resolvable shapes (SURVEY §7
         # "What's hard"): when every in-place applicator is properties /
@@ -600,19 +606,71 @@ class _BaseCompiler:
         return [_regate(c, gate)
                 for c in checks]
 
-    def _coverage_guard(self, node: dict) -> None:
-        for kw in _DYNAMIC_ANNOTATION_KEYWORDS:
+    def _coverage_guard(self, node: dict, seen: set = frozenset(),
+                        item: bool = False) -> None:
+        """Branch-dependent keywords under unevaluated* stay on the
+        expression path exactly when their annotation contribution is
+        statically ZERO in every alternative (round-5 widening of the
+        blanket round-3 rejection — r4 verdict "Next round" #6):
+
+        * ``anyOf``/``oneOf``/``if``/``then``/``else``: every branch
+          schema must contribute empty coverage. Then the kernel merges
+          nothing whether a branch succeeds or fails, so verdicts AND
+          violation-entry multisets are unaffected — the equal-NONEMPTY
+          case is deliberately not taken (a failing anyOf member drops
+          its annotations while the overall schema can still collect
+          unevaluated* entries, so static coverage would change the
+          entry set).
+        * ``dependentSchemas``: every dependent subschema must
+          contribute empty coverage (which keys are present — and hence
+          which subschemas annotate — is per-row).
+        * draft-7 dual-form schema ``dependencies``: NO constraint —
+          its annotations never reach the awaited sets
+          (``UnevaluatedPropertiesCompiler.java:27-35`` lists
+          ``dependentSchemas`` only; ``core/validator.py:1401``
+          ``merge=False``, reference-probe verified), so it is
+          coverage-invisible even with coverage-bearing subschemas.
+        * ``$dynamicRef``/``$recursiveRef``: always kernel (the target
+          is scope-dependent, unknowable statically).
+
+        ``item`` selects which coverage kind must be empty. For ITEM
+        coverage ``dependentSchemas`` is also invisible (it only runs —
+        and only merges — on object instances, never on arrays)."""
+        for kw in ("$dynamicRef", "$recursiveRef"):
             if kw in node:
                 raise ExprUnsupported(
                     f"unevaluated* with branch-dependent {kw!r} needs the UDF kernel"
                 )
-        deps = node.get("dependencies")
-        if isinstance(deps, dict) and any(
-            isinstance(v, (dict, bool)) for v in deps.values()
-        ):
-            raise ExprUnsupported(
-                "unevaluated* with schema-form dependencies needs the UDF kernel"
-            )
+
+        def require_zero(s, kw: str) -> None:
+            # COPY of the caller's cycle guard: probing a branch must
+            # not poison the caller's traversal, but must still detect
+            # $ref cycles THROUGH the branch (e.g. "if": {"$ref": "#"}
+            # would otherwise recurse guard -> probe -> guard forever)
+            if item:
+                c, a = self._static_item_coverage(s, set(seen))
+                zero = c == 0 and not a
+            else:
+                n, p, a = self._static_prop_coverage(s, set(seen))
+                zero = not n and not p and not a
+            if not zero:
+                raise ExprUnsupported(
+                    f"unevaluated* with coverage-bearing {kw!r} branch "
+                    "needs the UDF kernel")
+
+        for kw in ("anyOf", "oneOf"):
+            v = node.get(kw)
+            if isinstance(v, list):
+                for s in v:
+                    require_zero(s, kw)
+        if "if" in node:
+            require_zero(node["if"], "if")
+            for kw in ("then", "else"):
+                if kw in node:
+                    require_zero(node[kw], kw)
+        if not item and isinstance(node.get("dependentSchemas"), dict):
+            for s in node["dependentSchemas"].values():
+                require_zero(s, "dependentSchemas")
 
     def _resolve_allof_refs(self, node: dict, seen: set):
         """Yield the in-place subschemas contributing annotations:
@@ -635,7 +693,7 @@ class _BaseCompiler:
         unevaluatedProperties outcome is irrelevant."""
         if not isinstance(node, dict):
             return set(), [], False
-        self._coverage_guard(node)
+        self._coverage_guard(node, seen, item=False)
         names = set((node.get("properties") or {}).keys())
         pats = list((node.get("patternProperties") or {}).keys())
         # additionalProperties evaluates every remaining property; a
@@ -657,7 +715,7 @@ class _BaseCompiler:
         """(covered prefix length, covers_everything) for array items."""
         if not isinstance(node, dict):
             return 0, False
-        self._coverage_guard(node)
+        self._coverage_guard(node, seen, item=True)
         if "contains" in node:
             # contains annotates matched indices at runtime — in both
             # 2019-09 and 2020-12 per the reference
@@ -1295,7 +1353,7 @@ class VariantCompiler(_BaseCompiler):
         target) contributes its full-subtree static coverage gated on
         the MEMBER's whole ok — the kernel drops a failed subschema's
         annotations wholesale (``validator.py:419,451-454``)."""
-        self._coverage_guard(node)
+        self._coverage_guard(node, item=False)
         out = []
         names = set(node.get("properties") or {})
         pats = list(node.get("patternProperties") or {})
@@ -1322,7 +1380,7 @@ class VariantCompiler(_BaseCompiler):
     def _item_contributors(self, node, val, path: tuple) -> list[tuple]:
         """(covered_prefix, has_all, can_fail, gate_ok) per contributor
         — same gating model as :meth:`_prop_contributors`."""
-        self._coverage_guard(node)
+        self._coverage_guard(node, item=True)
         if "contains" in node:
             raise ExprUnsupported(
                 "unevaluatedItems with contains needs the UDF kernel")
