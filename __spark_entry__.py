@@ -712,9 +712,10 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals + the table-A1 keep/drop verdict
-    (`operators/repetition.py`): one codegen'd projection, zero
-    shuffle/Python. Signals rounded to 6 dp for the hash compare; the
-    keep verdict is computed on the UNROUNDED signals (both engines)."""
+    (`operators/repetition.py`): one projection (interpreted HOFs,
+    shared subtrees let-bound once — round 5), zero shuffle/Python.
+    Signals rounded to 6 dp for the hash compare; the keep verdict is
+    computed on the UNROUNDED signals (both engines)."""
     feat = REP.repetition_features(_tp(spark, sf_dir, "documents"))
     keep = F.lit(True)
     for name, limit in REP.GOPHER_THRESHOLDS.items():
