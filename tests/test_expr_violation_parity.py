@@ -59,6 +59,17 @@ def _is_container_divergence(doc_text: str, path: str, kw: str) -> bool:
     return isinstance(inst, (dict, list))
 
 
+def _negzero_render(k_msg: str) -> str:
+    """The expr-side rendering of a kernel message whose INSTANCE slot
+    is a sign-lost negative zero. Every message template that renders
+    the instance puts it in slot ``{0}`` (first occurrence), while
+    SCHEMA literals (e.g. ``exclusiveMinimum: -0.0``) render later and
+    keep their sign on BOTH engines (the expr path renders schema args
+    driver-side via ``jackson_to_string``) — so only the first
+    occurrence is rewritten, not all of them (round-5 sweep find)."""
+    return k_msg.replace("-0.0", "0.0", 1)
+
+
 def _is_negzero_divergence(doc_text: str, path: str, e_msg: str,
                            k_msg: str) -> bool:
     """A ``-0.0`` DECIMAL lexeme loses its sign in the variant encoding
@@ -66,7 +77,7 @@ def _is_negzero_divergence(doc_text: str, path: str, e_msg: str,
     where Jackson prints ``-0.0`` — accept exactly that divergence when
     the addressed instance IS a negative-zero float."""
     import math
-    if e_msg != k_msg.replace("-0.0", "0.0"):
+    if e_msg != _negzero_render(k_msg):
         return False
     try:
         inst = _instance_at(json.loads(doc_text), path)
@@ -115,8 +126,8 @@ def _compare(spark, cases, dialect):
             e_errs = [(e["path"], e["keyword"], e["message"])
                       for e in (r[f"e{k}"] or [])]
             k_errs = [
-                (pth, kw, msg.replace("-0.0", "0.0"))
-                if _is_negzero_divergence(d, pth, msg.replace("-0.0", "0.0"),
+                (pth, kw, _negzero_render(msg))
+                if _is_negzero_divergence(d, pth, _negzero_render(msg),
                                           msg) else (pth, kw, msg)
                 for pth, kw, msg in k_errs]
             exempt = [t for t in k_errs
