@@ -21,21 +21,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import normalize_text
+from .dedup import hof_let, normalize_text
 
 __all__ = ["benchmark_ngrams", "decontaminate", "contamination_flags"]
 
 
 def _gram_col(text_col, n: int) -> F.Column:
-    words = F.filter(F.split(normalize_text(text_col), " "),
-                     lambda w: F.length(w) > 0)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-    )
-    # explicit guard: sequence(0, negative) counts DOWN in Spark
-    return F.when(F.size(words) >= n, grams).otherwise(
-        F.array().cast("array<string>"))
+    # word array let-bound: the normalize/split/filter chain runs once
+    # per row, not once per gram inside the interpreted transform
+    def body(words):
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+        # explicit guard: sequence(0, negative) counts DOWN in Spark
+        return F.when(F.size(words) >= n, grams).otherwise(
+            F.array().cast("array<string>"))
+
+    return hof_let(
+        F.filter(F.split(normalize_text(text_col), " "),
+                 lambda w: F.length(w) > 0), body)
 
 
 def benchmark_ngrams(bench: DataFrame, text_col: str = "text",

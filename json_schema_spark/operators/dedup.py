@@ -68,6 +68,7 @@ def _persist_swap(key: str, df: DataFrame) -> DataFrame:
 
 __all__ = [
     "normalize_text",
+    "hof_let",
     "exact_duplicates",
     "ensure_parallelism",
     "char_shingles",
@@ -283,6 +284,23 @@ def normalize_text(col) -> F.Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def hof_let(value: F.Column, body) -> F.Column:
+    """Single-evaluation let-binding inside one Column expression: wrap
+    ``value`` as a one-element array, bind it to a lambda variable with
+    ``transform``, and unwrap. Critical for interpreted higher-order
+    functions: a non-lambda subexpression CAPTURED inside a HOF lambda
+    is re-evaluated on EVERY element visit (ArrayTransform evals the
+    full function tree per element, and HOFs never reach codegen), so
+    e.g. ``transform(idx, i -> substring(normalize_text(t), i, n))``
+    pays the whole regexp chain once per shingle position. Binding the
+    subtree as a lambda variable makes each reference a slot read. The
+    binding also survives CollapseProject / predicate pushdown, which
+    re-inline multiply-referenced aliases (round-5; PLANS.md §18).
+    A NULL ``value`` still binds (array(NULL) is one element), so NULL
+    propagation inside ``body`` matches direct substitution."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical (normalized) documents: one row per
     duplicate group with the canonical (min) id and the group members."""
@@ -328,10 +346,14 @@ def ensure_parallelism(df: DataFrame, min_parts: Optional[int] = None) -> DataFr
 
 
 def char_shingles(col, n: int = 5) -> F.Column:
-    """Distinct character n-grams of the normalized text (JVM-side)."""
-    s = normalize_text(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, n)))
+    """Distinct character n-grams of the normalized text (JVM-side).
+    The normalized string is let-bound so the regexp chain runs once
+    per row, not once per shingle position (see :func:`hof_let`)."""
+    def body(s):
+        idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1)))
+        return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, n)))
+
+    return hof_let(normalize_text(col), body)
 
 
 MERSENNE31 = 2_147_483_647
@@ -719,11 +741,15 @@ def ngram_jaccard_pairs(
     whose every shared prefix token was dropped are missed) — which is
     why it is loud, high by default, and disablable with ``None``."""
     if word_grams:
-        toks = F.split(normalize_text(F.col(text_col)), " ")
-        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (shingle_n - 1), F.lit(1)))
-        sh = F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_n)))
-        )
+        # let-bound: the split/regexp chain runs once per row, not once
+        # per gram position inside the interpreted transform lambda
+        def word_sh(toks):
+            idx = F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - (shingle_n - 1), F.lit(1)))
+            return F.array_distinct(F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_n))))
+
+        sh = hof_let(F.split(normalize_text(F.col(text_col)), " "), word_sh)
     else:
         sh = char_shingles(F.col(text_col), shingle_n)
     base = ensure_parallelism(df).select(F.col(id_col).alias("id"), sh.alias("sh")).withColumn(

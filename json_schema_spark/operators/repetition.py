@@ -53,7 +53,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import normalize_text
+from .dedup import hof_let, normalize_text
 
 __all__ = [
     "repetition_features",
@@ -79,17 +79,8 @@ GOPHER_THRESHOLDS: dict[str, float] = {
 }
 
 
-def _let(value: F.Column, body: Callable[[F.Column], F.Column]) -> F.Column:
-    """Single-evaluation let-binding inside one Column expression:
-    wrap ``value`` as a one-element array, bind it to a lambda variable
-    with ``transform``, and unwrap. ``body`` may reference the bound
-    variable any number of times at the cost of ONE evaluation of
-    ``value`` — alias-based sharing across projections does not survive
-    CollapseProject / predicate pushdown, and interpreted HOF evaluation
-    has no subexpression elimination; a lambda variable survives both.
-    A NULL ``value`` still binds (array(NULL) is a one-element array),
-    so NULL propagation inside ``body`` matches direct substitution."""
-    return F.element_at(F.transform(F.array(value), body), 1)
+# shared let-binding (see dedup.hof_let for the full rationale)
+_let = hof_let
 
 
 def _run_scan(sorted_grams: F.Column) -> F.Column:
